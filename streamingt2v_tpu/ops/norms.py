@@ -28,6 +28,9 @@ def group_norm(
     """GroupNorm over the trailing channel axis of (..., C), optionally fused
     with SiLU (`act='silu'`), the UNet's ubiquitous norm->act pair."""
     c = x.shape[-1]
+    # Clamp for tiny test configs; production channel counts are >=128 so
+    # this never diverges from the reference GroupNorm(32, C).
+    num_groups = min(num_groups, c)
     assert c % num_groups == 0, (c, num_groups)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32).reshape(*x.shape[:-1], num_groups, c // num_groups)
