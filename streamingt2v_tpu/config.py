@@ -68,6 +68,12 @@ class VAEConfig:
     scale_factor: float = 0.18215
     dtypes: DTypePolicy = field(default_factory=DTypePolicy)
 
+    @property
+    def downsample_factor(self) -> int:
+        """Spatial pixel->latent factor: one 2x downsample per level but the
+        last (8x at the production (1,2,4,4))."""
+        return 2 ** (len(self.ch_mult) - 1)
+
     @classmethod
     def tiny(cls) -> "VAEConfig":
         return cls(ch=16, ch_mult=(1, 2), num_res_blocks=1, dtypes=DTypePolicy.fp32())

@@ -1,0 +1,317 @@
+"""VideoUNet building blocks (channel-last, TPU layouts).
+
+Rebuilds the reference's UNet substrate:
+  - `FeedForward`/GEGLU, `CrossAttention`, `BasicTransformerBlock`
+    (reference models/svd/sgm/modules/attention.py:52-593)
+  - `VideoTransformerBlock` temporal transformer
+    (reference modules/video_attention.py:23-171)
+  - `SpatialVideoTransformer` spatial+temporal pair with AlphaBlender
+    (reference modules/video_attention.py:174-333)
+  - openaimodel `ResBlock` (spatial + dims=3 temporal variants) and the
+    `VideoResBlock` spatial/temporal pair (reference
+    openaimodel.py:210-356, models/diffusion/video_model.py:16-85)
+  - UNet `Downsample`/`Upsample` (reference openaimodel.py:107-207)
+
+Layout conventions:
+  - 5D activations (B, T, H, W, C); spatial modules fold T into batch,
+    temporal modules fold (H W) into batch.
+  - `emb` (time + vector conditioning) is (B, T, D).
+  - Attention routes through ops.attention (Pallas flash on TPU for the
+    large spatial geometries).
+
+Blend orientation: the UNet AlphaBlender computes
+`alpha * spatial + (1 - alpha) * temporal` with alpha = sigmoid(mix) and
+alpha forced to 1 for image-only rows (learned_with_images, reference
+util.py:312-370) — opposite of the VAE VideoResBlock orientation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from streamingt2v_tpu.ops import attention, group_norm, layer_norm, timestep_embedding
+
+
+def _gn_params(module: nn.Module, name: str, c: int):
+    scale = module.param(f"{name}_scale", nn.initializers.ones, (c,))
+    bias = module.param(f"{name}_bias", nn.initializers.zeros, (c,))
+    return scale, bias
+
+
+def _ln_params(module: nn.Module, name: str, c: int):
+    scale = module.param(f"{name}_scale", nn.initializers.ones, (c,))
+    bias = module.param(f"{name}_bias", nn.initializers.zeros, (c,))
+    return scale, bias
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (attention.py:52-76): proj to 2*inner, a*gelu(b),
+    project back."""
+
+    dim_out: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(x.shape[-1] * self.mult)
+        h = nn.Dense(inner * 2, name="proj")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.gelu(b.astype(jnp.float32)).astype(b.dtype)
+        return nn.Dense(self.dim_out, name="out")(h)
+
+
+class CrossAttention(nn.Module):
+    """q/k/v projections (no bias) + output projection (attention.py:262).
+    Self-attention when context is None."""
+
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        o = attention(q, k, v, num_heads=self.heads)
+        return nn.Dense(x.shape[-1], name="to_out")(o)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn -> cross-attn -> GEGLU-FF, each pre-LN residual
+    (attention.py:464-593)."""
+
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    disable_self_attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        c = x.shape[-1]
+        s1, b1 = _ln_params(self, "norm1", c)
+        h = layer_norm(x, s1, b1)
+        x = x + CrossAttention(
+            self.heads, self.dim_head,
+            context_dim=self.context_dim if self.disable_self_attn else None,
+            name="attn1",
+        )(h, context if self.disable_self_attn else None)
+        s2, b2 = _ln_params(self, "norm2", c)
+        h = layer_norm(x, s2, b2)
+        x = x + CrossAttention(
+            self.heads, self.dim_head, context_dim=self.context_dim, name="attn2"
+        )(h, context)
+        s3, b3 = _ln_params(self, "norm3", c)
+        x = x + FeedForward(c, name="ff")(layer_norm(x, s3, b3))
+        return x
+
+
+class VideoTransformerBlock(nn.Module):
+    """Temporal transformer block (video_attention.py:23-171).
+
+    Input is already time-major: (N, T, C) with N = B * S tokens.
+    ff_in (pre-FF) -> temporal self-attn -> cross-attn to time context ->
+    FF, residuals throughout (is_res: inner_dim == dim always here).
+    """
+
+    heads: int
+    dim_head: int
+    context_dim: Optional[int] = None
+    ff_in: bool = True
+    disable_temporal_crossattention: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        c = x.shape[-1]
+        if self.ff_in:
+            si, bi = _ln_params(self, "norm_in", c)
+            x = x + FeedForward(c, name="ff_in")(layer_norm(x, si, bi))
+        s1, b1 = _ln_params(self, "norm1", c)
+        x = x + CrossAttention(self.heads, self.dim_head, name="attn1")(
+            layer_norm(x, s1, b1)
+        )
+        if not self.disable_temporal_crossattention:
+            s2, b2 = _ln_params(self, "norm2", c)
+            x = x + CrossAttention(
+                self.heads, self.dim_head, context_dim=self.context_dim, name="attn2"
+            )(layer_norm(x, s2, b2), context)
+        s3, b3 = _ln_params(self, "norm3", c)
+        x = x + FeedForward(c, name="ff")(layer_norm(x, s3, b3))
+        return x
+
+
+def blend_with_images(mix_factor, spatial, temporal, image_only_indicator):
+    """UNet AlphaBlender (util.py:312-370): alpha weights the SPATIAL
+    branch; image rows take alpha=1.  image_only_indicator: (B, T) bool;
+    spatial/temporal: (B, T, ..., C)."""
+    alpha = jax.nn.sigmoid(mix_factor.astype(jnp.float32))
+    alpha = jnp.where(image_only_indicator, 1.0, alpha)
+    alpha = alpha.reshape(alpha.shape + (1,) * (spatial.ndim - alpha.ndim)).astype(spatial.dtype)
+    return alpha * spatial + (1.0 - alpha) * temporal
+
+
+class SpatialVideoTransformer(nn.Module):
+    """Spatial transformer + parallel temporal stack per depth
+    (video_attention.py:174-333).
+
+    Input (B, T, H, W, C); context (B, T, L, D) CLIP tokens.  The temporal
+    blocks' cross-attention context is frame 0's context row, shared across
+    spatial positions (use_spatial_context, video_attention.py:275-283).
+    """
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    context_dim: Optional[int] = None
+    use_apm: bool = False
+    disable_temporal_crossattention: bool = False
+    max_time_embed_period: float = 10000.0
+
+    @nn.compact
+    def __call__(self, x, context, image_only_indicator):
+        if self.use_apm:
+            raise NotImplementedError("APM transformer blocks land with the conditioner")
+        b, t, hh, ww, c = x.shape
+        s = hh * ww
+        inner = self.heads * self.dim_head
+        x_in = x
+
+        gs, gb = _gn_params(self, "norm", c)
+        h = group_norm(x, gs, gb, eps=1e-6)
+        h = nn.Dense(inner, name="proj_in")(h)
+
+        # frame-index positional embedding for the temporal branch
+        frame_ids = jnp.arange(t, dtype=jnp.float32)
+        t_emb = timestep_embedding(frame_ids, c, max_period=self.max_time_embed_period)
+        pos = nn.Dense(c * 4, name="time_pos_embed_0")(t_emb)
+        pos = nn.Dense(c, name="time_pos_embed_2")(jax.nn.silu(pos))
+        pos = pos.astype(h.dtype)  # (T, C)
+
+        ctx_sp = context.reshape((b * t,) + context.shape[2:]) if context is not None else None
+        ctx_time = context[:, 0] if context is not None else None  # (B, L, D)
+
+        mix = self.param("time_mixer_mix_factor", nn.initializers.constant(0.0), (1,))
+
+        h = h.reshape(b * t, s, inner)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads, self.dim_head, context_dim=self.context_dim,
+                name=f"block_{d}",
+            )(h, ctx_sp)
+            # temporal: (B*T, S, C) -> (B*S, T, C)
+            h5 = h.reshape(b, t, s, inner)
+            h_time = (h5 + pos[None, :, None, :]).transpose(0, 2, 1, 3).reshape(b * s, t, inner)
+            if ctx_time is not None and not self.disable_temporal_crossattention:
+                ctx_rep = jnp.broadcast_to(
+                    ctx_time[:, None], (b, s) + ctx_time.shape[1:]
+                ).reshape((b * s,) + ctx_time.shape[1:])
+            else:
+                ctx_rep = None
+            h_time = VideoTransformerBlock(
+                self.heads, self.dim_head, context_dim=self.context_dim,
+                ff_in=True,
+                disable_temporal_crossattention=self.disable_temporal_crossattention,
+                name=f"time_block_{d}",
+            )(h_time, ctx_rep)
+            h_time = h_time.reshape(b, s, t, inner).transpose(0, 2, 1, 3)
+            h = blend_with_images(mix, h5, h_time, image_only_indicator).reshape(
+                b * t, s, inner
+            )
+
+        h = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj_out")(h)
+        return x_in + h.reshape(b, t, hh, ww, c)
+
+
+class UNetResBlock(nn.Module):
+    """openaimodel ResBlock, spatial (dims=2): GN(1e-5)+SiLU+conv,
+    +emb, GN+SiLU+zero-conv, 1x1 skip (openaimodel.py:210-356).
+    Input (N, H, W, C), emb (N, D)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, emb):
+        c = x.shape[-1]
+        s1, b1 = _gn_params(self, "in_norm", c)
+        h = group_norm(x, s1, b1, eps=1e-5, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), name="in_conv")(h)
+        e = nn.Dense(self.out_channels, name="emb_proj")(jax.nn.silu(emb.astype(jnp.float32)).astype(emb.dtype))
+        h = h + e[:, None, None, :]
+        s2, b2 = _gn_params(self, "out_norm", self.out_channels)
+        h = group_norm(h, s2, b2, eps=1e-5, act="silu")
+        h = nn.Conv(self.out_channels, (3, 3), kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        if c != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="skip")(x)
+        return x + h
+
+
+class TemporalUNetResBlock(nn.Module):
+    """openaimodel ResBlock with dims=3, kernel (3,1,1) (the UNet
+    VideoResBlock time_stack, video_model.py:46-59).
+    Input (B, T, H, W, C), emb (B, T, D)."""
+
+    out_channels: int
+    kernel: Tuple[int, int, int] = (3, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, emb):
+        c = x.shape[-1]
+        s1, b1 = _gn_params(self, "in_norm", c)
+        h = group_norm(x, s1, b1, eps=1e-5, act="silu")
+        h = nn.Conv(self.out_channels, self.kernel, name="in_conv")(h)
+        e = nn.Dense(self.out_channels, name="emb_proj")(jax.nn.silu(emb.astype(jnp.float32)).astype(emb.dtype))
+        h = h + e[:, :, None, None, :]
+        s2, b2 = _gn_params(self, "out_norm", self.out_channels)
+        h = group_norm(h, s2, b2, eps=1e-5, act="silu")
+        h = nn.Conv(self.out_channels, self.kernel, kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        if c != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="skip")(x)
+        return x + h
+
+
+class UNetVideoResBlock(nn.Module):
+    """Spatial ResBlock + temporal ResBlock, AlphaBlended
+    (video_model.py:16-85).  Input (B, T, H, W, C), emb (B, T, D)."""
+
+    out_channels: int
+    video_kernel_size: Tuple[int, int, int] = (3, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, emb, image_only_indicator):
+        b, t, hh, ww, c = x.shape
+        h = UNetResBlock(self.out_channels, name="spatial")(
+            x.reshape(b * t, hh, ww, c), emb.reshape(b * t, -1)
+        ).reshape(b, t, hh, ww, self.out_channels)
+        h_time = TemporalUNetResBlock(
+            self.out_channels, self.video_kernel_size, name="time_stack"
+        )(h, emb)
+        mix = self.param("time_mixer_mix_factor", nn.initializers.constant(0.0), (1,))
+        return blend_with_images(mix, h, h_time, image_only_indicator)
+
+
+class Downsample(nn.Module):
+    """Strided conv, symmetric padding (openaimodel.py:161-207).
+    Input (N, H, W, C)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + conv (openaimodel.py:107-160). Input (N, H, W, C)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), name="conv")(x)

@@ -1,0 +1,78 @@
+"""Model construction + initialization for the streaming pipeline.
+
+The typed, explicit replacement for the reference's reflective module
+loader (GenericModuleLoader, modules/loader/module_loader.py:58-233): each
+module is built from the config tree and initialized (or loaded from a
+converted checkpoint) with no string-path indirection.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamingt2v_tpu.config import PipelineConfig
+from streamingt2v_tpu.models.clip import CLIPVisionConfig
+from streamingt2v_tpu.models.conditioner import Conditioner
+from streamingt2v_tpu.models.controlnet import ControlNet
+from streamingt2v_tpu.models.vae import AutoencoderKL
+from streamingt2v_tpu.models.video_unet import VideoUNet
+from streamingt2v_tpu.pipeline.streaming import Stage1Pipeline, StreamingModels
+
+
+def build_models(cfg: PipelineConfig, key: jax.Array,
+                 clip_cfg: Optional[CLIPVisionConfig] = None) -> StreamingModels:
+    """Construct and randomly initialize all stage-1 modules.  Checkpoint
+    loading replaces the param pytrees afterwards (utils/checkpoint.py)."""
+    import dataclasses
+
+    k = jax.random.split(key, 8)
+    unet = VideoUNet(cfg.unet)
+    svd_cfg = dataclasses.replace(cfg.unet, controlnet_mode=False)
+    svd_unet = VideoUNet(svd_cfg)
+    controlnet = ControlNet(cfg.unet, cfg.controlnet)
+    vae = AutoencoderKL(cfg.vae)
+    if clip_cfg is None:
+        clip_cfg = CLIPVisionConfig() if cfg.conditioner.use_clip else CLIPVisionConfig.tiny()
+    conditioner = Conditioner(cfg.conditioner, cfg.vae, clip_cfg)
+
+    t = 2  # init-time frame count (params are shape-independent)
+    f = cfg.vae.downsample_factor
+    h, w = cfg.height // f, cfg.width // f
+    f_cond = cfg.inference.num_conditional_frames
+    x = jnp.zeros((1, t, h, w, cfg.unet.in_channels))
+    t_cont = jnp.zeros((1,))
+    ctx = jnp.zeros((1, t, 1, cfg.unet.context_dim))
+    y = jnp.zeros((1, t, cfg.unet.adm_in_channels))
+    pix_scale = 2 ** (len(cfg.controlnet.conditioning_embedding_out_channels) - 1)
+    pix = jnp.zeros((1, t, h * pix_scale, w * pix_scale, 3))
+
+    unet_params = unet.init(k[0], x, t_cont, ctx, y)
+    svd_params = svd_unet.init(k[1], x, t_cont, ctx, y)
+    cn_params = controlnet.init(k[2], x, t_cont, ctx[:, :, :1], y, pix)
+    vae_params = vae.init(k[3], jnp.zeros((1, 2, 32, 32, 3)))
+    batch = {
+        "cond_frames_without_noise": jnp.zeros((1, cfg.height, cfg.width, 3)),
+        "cond_frames": jnp.zeros((1, cfg.height, cfg.width, 3)),
+        "fps_id": jnp.zeros((1,)),
+        "motion_bucket_id": jnp.zeros((1,)),
+        "cond_aug": jnp.zeros((1,)),
+    }
+    cond_params = conditioner.init(k[4], batch)
+
+    return StreamingModels(
+        unet=unet, unet_params=unet_params,
+        controlnet=controlnet, controlnet_params=cn_params,
+        svd_unet=svd_unet, svd_unet_params=svd_params,
+        vae=vae, vae_params=vae_params,
+        conditioner=conditioner, conditioner_params=cond_params,
+    )
+
+
+def build_pipeline(cfg: PipelineConfig, seed: int = 0,
+                   clip_cfg: Optional[CLIPVisionConfig] = None) -> Stage1Pipeline:
+    models = build_models(cfg, jax.random.PRNGKey(seed), clip_cfg)
+    return Stage1Pipeline(cfg, models)

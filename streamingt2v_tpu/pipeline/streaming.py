@@ -1,0 +1,173 @@
+"""Stage 1 — streaming image-to-video.
+
+Rebuild of the reference orchestration (diffusion_trainer/streaming_svd.py):
+
+  1. First 25-frame chunk from the input image with the SVD-XT weights
+     (the reference calls the diffusers StableVideoDiffusionPipeline,
+     streaming_svd.py:388-390; here the same VideoUNet architecture with
+     controlnet_mode=False runs under our EulerEDM sampler).
+  2. Autoregressive chunks: each conditioned on the CLIP+VAE encoding of
+     chunk 0's anchor frame (frame `anchor_frames`, streaming_svd.py:335)
+     and on the last `num_conditional_frames` frames of the previous chunk
+     through the ControlNet/CAM branch (streaming_svd.py:293-356).
+     Frames [num_conditional_frames:] of each generation are kept.
+
+Each chunk generation is ONE jitted program: conditioner -> 30-step
+sampler scan -> chunked temporal VAE decode.  The Python-level loop over
+generations re-enters the same compiled function (shapes are static), so
+compilation happens once per chunk kind (first / streaming).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamingt2v_tpu.config import PipelineConfig
+from streamingt2v_tpu.diffusion import denoise, make_sampler
+from streamingt2v_tpu.diffusion.guiders import make_guider
+from streamingt2v_tpu.models.conditioner import Conditioner, broadcast_cond
+from streamingt2v_tpu.models.controlnet import ControlNet
+from streamingt2v_tpu.models.vae import AutoencoderKL
+from streamingt2v_tpu.models.video_unet import VideoUNet
+from streamingt2v_tpu.models.wrappers import openai_wrapper, streaming_wrapper
+from streamingt2v_tpu.utils.rng import generation_key
+
+
+@dataclasses.dataclass
+class StreamingModels:
+    """Explicit model registry — the typed replacement for the reference's
+    reflective GenericModuleLoader (modules/loader/module_loader.py:58-233)."""
+
+    unet: VideoUNet                 # streaming UNet (controlnet_mode=True)
+    unet_params: Any
+    controlnet: ControlNet
+    controlnet_params: Any
+    svd_unet: VideoUNet             # first-chunk SVD-XT (controlnet_mode=False)
+    svd_unet_params: Any
+    vae: AutoencoderKL              # first stage (temporal decoder)
+    vae_params: Any
+    conditioner: Conditioner
+    conditioner_params: Any
+
+
+class Stage1Pipeline:
+    def __init__(self, cfg: PipelineConfig, models: StreamingModels):
+        self.cfg = cfg
+        self.models = models
+        self._first_chunk_fn = jax.jit(self._first_chunk_impl)
+        self._stream_chunk_fn = jax.jit(self._stream_chunk_impl)
+
+    # ---------- conditioning ----------
+
+    def _build_batch(self, anchor_frame: jax.Array, key: jax.Array):
+        """get_batch_sgm equivalent (streaming_svd.py:169-183).  The noise
+        augmentation uses UNIFORM noise, matching the reference's
+        torch.rand_like (streaming_svd.py:176)."""
+        inf = self.cfg.inference
+        b = anchor_frame.shape[0]
+        noise = jax.random.uniform(key, anchor_frame.shape, anchor_frame.dtype)
+        return {
+            "cond_frames_without_noise": anchor_frame,
+            "cond_frames": anchor_frame + inf.cond_aug * noise,
+            "fps_id": jnp.full((b,), float(inf.fps_id)),
+            "motion_bucket_id": jnp.full((b,), float(inf.motion_bucket_id)),
+            "cond_aug": jnp.full((b,), inf.cond_aug),
+        }
+
+    # ---------- chunk generators (jitted; params flow through jit args
+    # rather than closures so they are not captured as constants) ----------
+
+    def _sample_latents(self, network_fn, shape, cond, uc, key):
+        sampler = make_sampler(self.cfg.sampler)
+
+        def denoise_fn(x, sigma, c):
+            return denoise(network_fn, x, sigma, c)
+
+        k_init, k_loop = jax.random.split(key)
+        noise = jax.random.normal(k_init, shape, jnp.float32)
+        return sampler(denoise_fn, noise, cond, uc, key=k_loop)
+
+    def _latent_shape(self, num_frames: int):
+        cfg = self.cfg
+        f = cfg.vae.downsample_factor
+        return (1, num_frames, cfg.height // f, cfg.width // f, cfg.unet.out_channels)
+
+    def _first_chunk_impl(self, svd_params, vae_params, cond_params, image, key):
+        """image: (1, H, W, 3) in [-1,1] -> (1, T, H, W, 3) in [-1,1]."""
+        m = self.models
+        num_frames = self.cfg.inference.chunk_frames
+        k_cond, k_sample = jax.random.split(key)
+        c, uc = self._conditioning_with(cond_params, image, k_cond, num_frames)
+        net = openai_wrapper(m.svd_unet, svd_params)
+        z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample)
+        return self._decode_with(vae_params, z)
+
+    def _stream_chunk_impl(self, unet_params, cn_params, vae_params, cond_params,
+                           anchor_frame, ctrl_frames, key):
+        """anchor_frame: (1, H, W, 3); ctrl_frames: (1, F_cond, H, W, 3)."""
+        m = self.models
+        num_frames = self.cfg.inference.chunk_frames
+        f_cond = self.cfg.inference.num_conditional_frames
+        k_cond, k_sample = jax.random.split(key)
+        c, uc = self._conditioning_with(cond_params, anchor_frame, k_cond, num_frames)
+        c = dict(c); uc = dict(uc)
+        c["ctrl_frames"] = ctrl_frames
+        uc["ctrl_frames"] = ctrl_frames
+        net = streaming_wrapper(m.unet, unet_params, m.controlnet, cn_params, f_cond)
+        z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample)
+        return self._decode_with(vae_params, z)
+
+    def _conditioning_with(self, cond_params, anchor_frame, key, num_frames):
+        m = self.models
+        batch = self._build_batch(anchor_frame, key)
+        c, uc = m.conditioner.apply(cond_params, batch, method=Conditioner.pair)
+        return broadcast_cond(c, num_frames), broadcast_cond(uc, num_frames)
+
+    def _decode_with(self, vae_params, z):
+        m = self.models
+        t = z.shape[1]
+        cs = self.cfg.inference.decode_chunk_size
+        outs = []
+        for start in range(0, t, cs):
+            outs.append(m.vae.apply(vae_params, z[:, start:start + cs],
+                                    method=AutoencoderKL.decode))
+        return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
+
+    # ---------- public API ----------
+
+    def image_to_video(self, image: jax.Array, num_frames: Optional[int] = None,
+                       seed: Optional[int] = None) -> jax.Array:
+        """image: (H, W, 3) in [-1,1] -> (F, H, W, 3) in [-1,1].
+
+        `num_frames` is the stage-1 target ((pipeline num_frames+1)//2,
+        reference inference_i2v.py:249)."""
+        cfg = self.cfg
+        m = self.models
+        inf = cfg.inference
+        seed = cfg.seed if seed is None else seed
+        target = num_frames if num_frames is not None else cfg.stage1_frames
+        n_gen = cfg.n_autoregressions(target)
+
+        image = image[None]  # batch of 1
+        chunk0 = self._first_chunk_fn(
+            m.svd_unet_params, m.vae_params, m.conditioner_params, image,
+            generation_key(seed, 0, inf.reset_seed_per_generation),
+        )
+        chunks: List[jax.Array] = [chunk0]
+        anchor = chunk0[:, inf.anchor_frames]  # frame 6 of chunk 0, fixed
+        for g in range(n_gen):
+            ctrl = chunks[-1][:, -inf.num_conditional_frames:]
+            key = generation_key(seed, g + 1, inf.reset_seed_per_generation)
+            result = self._stream_chunk_fn(
+                m.unet_params, m.controlnet_params, m.vae_params,
+                m.conditioner_params, anchor, ctrl, key,
+            )
+            chunks.append(result[:, inf.num_conditional_frames:])
+        video = jnp.concatenate(chunks, axis=1)[0]
+        return video[:target]

@@ -1,0 +1,51 @@
+"""End-to-end tiny stage-1 pipeline: the CPU-runnable fast_dev_run
+equivalent (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamingt2v_tpu.config import PipelineConfig
+from streamingt2v_tpu.pipeline.build import build_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return build_pipeline(PipelineConfig.tiny(), seed=0)
+
+
+def _image(cfg):
+    rng = np.random.RandomState(0)
+    return jnp.asarray(rng.rand(cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
+
+
+def test_image_to_video_end_to_end(pipeline):
+    cfg = pipeline.cfg
+    # target 11 frames: chunk 5 + 2 generations x (5-2 kept) = 11
+    video = pipeline.image_to_video(_image(cfg), num_frames=11, seed=33)
+    assert video.shape == (11, cfg.height, cfg.width, 3)
+    v = np.asarray(video)
+    assert np.all(np.isfinite(v))
+    assert v.min() >= -1.0 and v.max() <= 1.0
+
+
+def test_autoregression_count_matches_formula(pipeline):
+    cfg = pipeline.cfg
+    # chunk=5, cond=2 -> each generation adds 3 frames
+    assert cfg.n_autoregressions(11) == 2
+    assert cfg.n_autoregressions(5) == 0
+
+
+def test_deterministic_given_seed(pipeline):
+    cfg = pipeline.cfg
+    v1 = pipeline.image_to_video(_image(cfg), num_frames=8, seed=7)
+    v2 = pipeline.image_to_video(_image(cfg), num_frames=8, seed=7)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_seed_changes_output(pipeline):
+    cfg = pipeline.cfg
+    v1 = pipeline.image_to_video(_image(cfg), num_frames=5, seed=1)
+    v2 = pipeline.image_to_video(_image(cfg), num_frames=5, seed=2)
+    assert not np.allclose(np.asarray(v1), np.asarray(v2))

@@ -1,0 +1,182 @@
+"""VideoUNet / ControlNet / CAM / wrapper tests on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamingt2v_tpu.config import ControlNetConfig, VideoUNetConfig
+from streamingt2v_tpu.models.cam import CAMConditionalModel
+from streamingt2v_tpu.models.controlnet import ControlNet
+from streamingt2v_tpu.models.unet_blocks import (
+    SpatialVideoTransformer,
+    UNetVideoResBlock,
+    blend_with_images,
+)
+from streamingt2v_tpu.models.video_unet import VideoUNet
+from streamingt2v_tpu.models.wrappers import openai_wrapper, streaming_wrapper
+
+B, T, H, W = 1, 5, 8, 8
+F_COND = 3
+
+
+def _ucfg(controlnet_mode=True):
+    return VideoUNetConfig.tiny(controlnet_mode=controlnet_mode)
+
+
+def _inputs(cfg, t=T):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, t, H, W, cfg.in_channels), jnp.float32)
+    t_cont = jnp.asarray(rng.randn(B), jnp.float32)
+    ctx = jnp.asarray(rng.randn(B, t, 1, cfg.context_dim), jnp.float32)
+    y = jnp.asarray(rng.randn(B, t, cfg.adm_in_channels), jnp.float32)
+    return x, t_cont, ctx, y
+
+
+def test_unet_forward_shapes_no_control():
+    cfg = _ucfg(controlnet_mode=False)
+    unet = VideoUNet(cfg)
+    x, t_cont, ctx, y = _inputs(cfg)
+    params = unet.init(jax.random.PRNGKey(0), x, t_cont, ctx, y)
+    out = unet.apply(params, x, t_cont, ctx, y)
+    assert out.shape == (B, T, H, W, cfg.out_channels)
+    # zero-init out conv -> exact zeros at init
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_unet_temporal_mixing():
+    """Perturbing frame 0 must change frame 4 output (temporal attention
+    spans all frames)."""
+    cfg = _ucfg(controlnet_mode=False)
+    unet = VideoUNet(cfg)
+    x, t_cont, ctx, y = _inputs(cfg)
+    params = unet.init(jax.random.PRNGKey(0), x, t_cont, ctx, y)
+    # randomize the zero-init projections so outputs are nonzero
+    params = jax.tree.map(
+        lambda p: p + 0.01 * np.random.RandomState(1).randn(*p.shape).astype(p.dtype), params
+    )
+    out1 = unet.apply(params, x, t_cont, ctx, y)
+    out2 = unet.apply(params, x.at[0, 0].add(1.0), t_cont, ctx, y)
+    assert not np.allclose(np.asarray(out1[0, 4]), np.asarray(out2[0, 4]))
+
+
+def test_controlnet_outputs():
+    ucfg = _ucfg()
+    ccfg = ControlNetConfig.tiny()
+    cn = ControlNet(ucfg, ccfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, F_COND, H, W, ucfg.in_channels), jnp.float32)
+    t_cont = jnp.zeros((B,))
+    ctx = jnp.asarray(rng.randn(B, F_COND, 1, ucfg.context_dim), jnp.float32)
+    y = jnp.asarray(rng.randn(B, F_COND, ucfg.adm_in_channels), jnp.float32)
+    scale = 2 ** (len(ccfg.conditioning_embedding_out_channels) - 1)
+    pixels = jnp.asarray(rng.randn(B, F_COND, H * scale, W * scale, 3), jnp.float32)
+    params = cn.init(jax.random.PRNGKey(0), x, t_cont, ctx, y, pixels)
+    hs, mid = cn.apply(params, x, t_cont, ctx, y, pixels)
+    # input blocks: conv_in + 2 levels x 1 res + 1 downsample = 4 skips
+    assert len(hs) == 4
+    assert hs[0].shape == (B, F_COND, H, W, ucfg.model_channels)
+    assert hs[-1].shape == (B, F_COND, H // 2, W // 2, 2 * ucfg.model_channels)
+    assert mid.shape == (B, F_COND, H // 2, W // 2, 2 * ucfg.model_channels)
+
+
+def test_cam_zero_init_identity():
+    cam = CAMConditionalModel(attention_head_dim=8)
+    rng = np.random.RandomState(0)
+    sample = jnp.asarray(rng.randn(B, T, 4, 4, 16), jnp.float32)
+    cond = jnp.asarray(rng.randn(B, F_COND, 4, 4, 16), jnp.float32)
+    params = cam.init(jax.random.PRNGKey(0), sample, cond)
+    out = cam.apply(params, sample, cond)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(sample), atol=1e-6)
+
+
+def test_cam_conditioning_changes_output():
+    cam = CAMConditionalModel(attention_head_dim=8)
+    rng = np.random.RandomState(0)
+    sample = jnp.asarray(rng.randn(B, T, 4, 4, 16), jnp.float32)
+    cond = jnp.asarray(rng.randn(B, F_COND, 4, 4, 16), jnp.float32)
+    params = cam.init(jax.random.PRNGKey(0), sample, cond)
+    params = jax.tree.map(
+        lambda p: p + 0.05 * np.random.RandomState(1).randn(*p.shape).astype(p.dtype), params
+    )
+    out1 = cam.apply(params, sample, cond)
+    out2 = cam.apply(params, sample, cond + 1.0)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_streaming_wrapper_end_to_end():
+    """Full streaming network fn: ControlNet -> CAM-fused UNet, CFG batch."""
+    ucfg = _ucfg(controlnet_mode=True)
+    ccfg = ControlNetConfig.tiny()
+    unet = VideoUNet(ucfg)
+    cn = ControlNet(ucfg, ccfg)
+    rng = np.random.RandomState(0)
+
+    x = jnp.asarray(rng.randn(2 * B, T, H, W, 4), jnp.float32)  # CFG-doubled
+    t_cont = jnp.zeros((2 * B,))
+    cond = {
+        "concat": jnp.asarray(rng.randn(2 * B, T, H, W, 4), jnp.float32),
+        "crossattn": jnp.asarray(rng.randn(2 * B, T, 1, ucfg.context_dim), jnp.float32),
+        "vector": jnp.asarray(rng.randn(2 * B, T, ucfg.adm_in_channels), jnp.float32),
+        "ctrl_frames": jnp.asarray(
+            rng.randn(2 * B, F_COND,
+                      H * 2 ** (len(ccfg.conditioning_embedding_out_channels) - 1),
+                      W * 2 ** (len(ccfg.conditioning_embedding_out_channels) - 1), 3),
+            jnp.float32),
+    }
+    xc = jnp.concatenate([x, cond["concat"]], axis=-1)
+    unet_params = unet.init(jax.random.PRNGKey(0), xc, t_cont, cond["crossattn"], cond["vector"])
+    cn_params = cn.init(
+        jax.random.PRNGKey(1), xc[:, :F_COND], t_cont,
+        cond["crossattn"][:, :F_COND, :1], cond["vector"][:, :F_COND], cond["ctrl_frames"],
+    )
+    net = streaming_wrapper(unet, unet_params, cn, cn_params, F_COND)
+    out = net(x, t_cont, cond)
+    assert out.shape == (2 * B, T, H, W, ucfg.out_channels)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_openai_wrapper_concat():
+    ucfg = _ucfg(controlnet_mode=False)
+    unet = VideoUNet(ucfg)
+    x, t_cont, ctx, y = _inputs(ucfg)
+    x4 = x[..., :4]
+    cond = {"concat": x[..., 4:], "crossattn": ctx, "vector": y}
+    params = unet.init(jax.random.PRNGKey(0), x, t_cont, ctx, y)
+    net = openai_wrapper(unet, params)
+    out = net(x4, t_cont, cond)
+    assert out.shape == (B, T, H, W, ucfg.out_channels)
+
+
+def test_blend_with_images_semantics():
+    spatial = jnp.ones((1, 2, 3, 4))
+    temporal = jnp.zeros((1, 2, 3, 4))
+    mix = jnp.asarray([0.0])  # sigmoid -> 0.5
+    ind = jnp.asarray([[True, False]])
+    out = blend_with_images(mix, spatial, temporal, ind)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 1.0)   # image row: pure spatial
+    np.testing.assert_allclose(np.asarray(out[0, 1]), 0.5)   # video row: sigmoid mix
+
+
+def test_spatial_video_transformer_residual_at_init():
+    """proj_out is zero-init -> the whole transformer is identity at init."""
+    svt = SpatialVideoTransformer(heads=2, dim_head=8, context_dim=16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 3, 4, 4, 16), jnp.float32)
+    ctx = jnp.asarray(rng.randn(1, 3, 2, 16), jnp.float32)
+    ind = jnp.zeros((1, 3), bool)
+    params = svt.init(jax.random.PRNGKey(0), x, ctx, ind)
+    out = svt.apply(params, x, ctx, ind)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_unet_param_count_full_config():
+    """Full SVD config must land in the expected ~1.5B range (SVD-XT UNet)."""
+    cfg = VideoUNetConfig(controlnet_mode=False)
+    unet = VideoUNet(cfg)
+    x = jax.ShapeDtypeStruct((1, 2, 8, 8, cfg.in_channels), jnp.float32)
+    t = jax.ShapeDtypeStruct((1,), jnp.float32)
+    ctx = jax.ShapeDtypeStruct((1, 2, 1, cfg.context_dim), jnp.float32)
+    y = jax.ShapeDtypeStruct((1, 2, cfg.adm_in_channels), jnp.float32)
+    shapes = jax.eval_shape(unet.init, jax.random.PRNGKey(0), x, t, ctx, y)
+    n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+    assert 1.4e9 < n < 1.7e9, n / 1e9
