@@ -225,8 +225,10 @@ class EnhanceConfig:
 class VFIConfig:
     """EMA-VFI frame interpolation (reference i2v_enhance/thirdparty/VFI/)."""
 
+    # F=32, W=7, depth (2,2,2,4,4): motion_dims = 8F/depth[-2], 16F/depth[-1]
+    # (reference thirdparty/VFI/config.py:9-28)
     embed_dims: Tuple[int, ...] = (32, 64, 128, 256, 512)
-    motion_dims: Tuple[int, ...] = (0, 0, 0, 8, 16)
+    motion_dims: Tuple[int, ...] = (0, 0, 0, 64, 128)
     num_heads: Tuple[int, ...] = (8, 16)
     window_sizes: Tuple[int, ...] = (7, 7)
     depths: Tuple[int, ...] = (2, 2, 2, 4, 4)
@@ -236,9 +238,10 @@ class VFIConfig:
 
     @classmethod
     def tiny(cls) -> "VFIConfig":
+        # (motion*depth + embed)*2 must divide by 16 (FlowHead PixelShuffle)
         return cls(
             embed_dims=(8, 8, 16, 16, 32),
-            motion_dims=(0, 0, 0, 4, 8),
+            motion_dims=(0, 0, 0, 8, 16),
             num_heads=(2, 2),
             window_sizes=(4, 4),
             depths=(1, 1, 1, 1, 1),

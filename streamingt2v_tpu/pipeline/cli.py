@@ -1,0 +1,109 @@
+"""CLI mirroring the reference's inference_i2v.py surface.
+
+Flags match reference inference_i2v.py:30-47: --input --output
+--num_frames --out_fps --chunk_size --overlap_size
+--use_randomized_blending (--use_memopt is accepted for compatibility and
+ignored: memory scaling on TPU comes from sharding/remat, not offload).
+
+Checkpoint ingestion: --ckpt_dir points at a directory of converted
+checkpoints (see utils/checkpoint.py); without it the pipeline runs with
+random weights (smoke mode, --tiny recommended).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("streamingt2v_tpu")
+    p.add_argument("--input", required=True, help="input image file or directory")
+    p.add_argument("--output", default="results", help="output directory")
+    p.add_argument("--num_frames", type=int, default=200)
+    p.add_argument("--out_fps", type=int, default=24)
+    p.add_argument("--chunk_size", type=int, default=38)
+    p.add_argument("--overlap_size", type=int, default=12)
+    p.add_argument("--use_randomized_blending", action="store_true")
+    p.add_argument("--use_memopt", action="store_true",
+                   help="accepted for reference CLI compatibility; no-op on TPU")
+    p.add_argument("--seed", type=int, default=33)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-weight config (smoke testing)")
+    p.add_argument("--skip_enhance", action="store_true")
+    p.add_argument("--skip_interpolation", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    from streamingt2v_tpu.config import PipelineConfig
+    from streamingt2v_tpu.pipeline.build import build_pipeline
+    from streamingt2v_tpu.pipeline.full import StreamingT2VPipeline
+    from streamingt2v_tpu.utils.profiling import timing_report
+
+    args = build_parser().parse_args(argv)
+    if args.tiny:
+        cfg = PipelineConfig.tiny()
+        cfg = dataclasses.replace(
+            cfg, num_frames=min(args.num_frames, 16), out_fps=args.out_fps,
+            seed=args.seed,
+        )
+    else:
+        cfg = PipelineConfig(
+            num_frames=args.num_frames, out_fps=args.out_fps, seed=args.seed,
+            use_randomized_blending=args.use_randomized_blending,
+            chunk_size=args.chunk_size, overlap_size=args.overlap_size,
+        )
+    if args.use_memopt:
+        print("[streamingt2v_tpu] --use_memopt is a no-op on TPU (sharding/remat instead)")
+
+    stage1 = build_pipeline(cfg, seed=args.seed)
+    if args.ckpt_dir:
+        from streamingt2v_tpu.utils.loader import load_stage1_checkpoints
+
+        stage1 = load_stage1_checkpoints(stage1, args.ckpt_dir)
+
+    enhance = None if args.skip_enhance else _maybe_build_enhance(cfg, args)
+    interp = None if args.skip_interpolation else _maybe_build_interpolate(cfg, args)
+    pipe = StreamingT2VPipeline(cfg, stage1, enhance, interp)
+
+    inputs = (
+        sorted(glob.glob(os.path.join(args.input, "*")))
+        if os.path.isdir(args.input) else [args.input]
+    )
+    os.makedirs(args.output, exist_ok=True)
+    for path in inputs:
+        name = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.output, f"{name}.mp4")
+        print(f"[streamingt2v_tpu] {path} -> {out_path}")
+        pipe(path, out_path, seed=args.seed)
+    print(json.dumps(timing_report(), indent=2))
+    return 0
+
+
+def _maybe_build_enhance(cfg, args):
+    """Stage 2 requires its own checkpoints; skip with a notice if absent."""
+    if args.tiny or not args.ckpt_dir:
+        print("[streamingt2v_tpu] stage 2 (enhance) skipped: no checkpoints")
+        return None
+    from streamingt2v_tpu.utils.loader import load_enhance_pipeline
+
+    return load_enhance_pipeline(cfg, args.ckpt_dir)
+
+
+def _maybe_build_interpolate(cfg, args):
+    if args.tiny or not args.ckpt_dir:
+        print("[streamingt2v_tpu] stage 3 (interpolation) skipped: no checkpoints")
+        return None
+    from streamingt2v_tpu.utils.loader import load_interpolate_pipeline
+
+    return load_interpolate_pipeline(cfg, args.ckpt_dir)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,234 @@
+"""Stage 2 — I2VGen-XL enhancement (SDEdit + randomized blending).
+
+Rebuild of the reference's modified diffusers pipeline
+(i2v_enhance/pipeline_i2vgen_xl.py:619-930) and interface
+(i2v_enhance_interface.py:86-138):
+
+  - video -> VAE latents, noised at the strength-truncated first timestep
+    (SDEdit, :541-615)
+  - per key-frame conditioning: CLIP image embedding (center-crop-wide +
+    224 bilinear resize) and VAE latent of the key frame followed by
+    frame-position masks (:479-511,772-796)
+  - 30 DDIM steps; with randomized blending the video is denoised in
+    overlapping chunks, each conditioned on its own key frame, written
+    back at a random offset within the overlap (:837-909)
+  - chunk-start key frames are themselves enhanced by a pre-pass
+    (:90-118)
+
+The per-chunk random offsets derive from a counter-addressed PRNG
+(fold_in(step, chunk)) so chunk scheduling is bitwise-stable across runs —
+the reference uses Python's global `random` (:891-897).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamingt2v_tpu.config import EnhanceConfig
+from streamingt2v_tpu.diffusion.ddim import DDIMScheduler
+from streamingt2v_tpu.models.clip import CLIPVisionTower, clip_preprocess
+from streamingt2v_tpu.models.clip_text import CLIPTextTower, CLIPTokenizer
+from streamingt2v_tpu.models.enhance.unet import I2VGenXLUNet
+from streamingt2v_tpu.models.vae import AutoencoderKL
+from streamingt2v_tpu.utils.rng import RngStream
+
+
+@dataclasses.dataclass
+class EnhanceModels:
+    unet: I2VGenXLUNet
+    unet_params: Any
+    vae: AutoencoderKL            # spatial SD VAE with quant convs
+    vae_params: Any
+    clip_vision: CLIPVisionTower
+    clip_vision_params: Any
+    text_encoder: CLIPTextTower
+    text_params: Any
+    scheduler: DDIMScheduler
+    tokenizer: Optional[CLIPTokenizer] = None
+
+
+def center_crop_wide(img: jax.Array, target_wh) -> jax.Array:
+    """Reference `_center_crop_wide` for (H, W, C) arrays."""
+    tw, th = target_wh
+    h, w = img.shape[:2]
+    y0 = max(0, (h - th) // 2)
+    x0 = max(0, (w - tw) // 2)
+    return img[y0 : y0 + th, x0 : x0 + tw]
+
+
+class EnhancePipeline:
+    def __init__(self, cfg: EnhanceConfig, models: EnhanceModels):
+        self.cfg = cfg
+        self.m = models
+        self._denoise_chunk = jax.jit(self._denoise_chunk_impl,
+                                      static_argnames=("num_inference_steps",))
+
+    # ---------- conditioning ----------
+
+    def encode_prompts(self, prompt: Optional[str] = None,
+                       negative_prompt: Optional[str] = None) -> jax.Array:
+        """-> (2, 77, width): negative ‖ positive last hidden states."""
+        if self.m.tokenizer is None:
+            raise ValueError("no tokenizer: pass precomputed prompt_embeds")
+        prompt = self.cfg.prompt if prompt is None else prompt
+        negative_prompt = self.cfg.negative_prompt if negative_prompt is None else negative_prompt
+        ids = jnp.asarray(self.m.tokenizer([negative_prompt, prompt]))
+        return self.m.text_encoder.apply(self.m.text_params, ids)
+
+    # ---------- core denoise ----------
+
+    def _denoise_chunk_impl(self, unet_params, latents_chunk, t, prompt_embeds,
+                            clip_emb, image_latents, fps, *, num_inference_steps):
+        """One CFG-guided DDIM step on one chunk.  latents_chunk (1,T,h,w,4)."""
+        m = self.m
+        x_in = jnp.concatenate([latents_chunk, latents_chunk], axis=0)
+        t_vec = jnp.full((2,), t, jnp.int32)
+        fps_vec = jnp.full((2,), fps, jnp.float32)
+        noise_pred = m.unet.apply(
+            unet_params, x_in, t_vec, fps_vec, image_latents, clip_emb, prompt_embeds
+        )
+        eps_u, eps_c = jnp.split(noise_pred, 2, axis=0)
+        eps = eps_u + self.cfg.guidance_scale * (eps_c - eps_u)
+        return m.scheduler.step(eps, t, latents_chunk, num_inference_steps)
+
+    # ---------- video latents ----------
+
+    def _encode_video(self, video: jax.Array, key: jax.Array) -> jax.Array:
+        """(F, H, W, 3) -> sampled, scaled latents (1, F, h, w, 4)."""
+        zs = []
+        for start in range(0, video.shape[0], 16):
+            chunk = video[start : start + 16]
+            zs.append(self.m.vae.apply(
+                self.m.vae_params, chunk, jax.random.fold_in(key, start),
+                method=AutoencoderKL.encode,
+            ))
+        return jnp.concatenate(zs, axis=0)[None]
+
+    def _decode_latents(self, latents: jax.Array, decode_chunk: int = 8) -> jax.Array:
+        z = latents[0]
+        outs = []
+        for start in range(0, z.shape[0], decode_chunk):
+            outs.append(self.m.vae.apply(
+                self.m.vae_params, z[start : start + decode_chunk],
+                method=AutoencoderKL.decode,
+            ))
+        return jnp.clip(jnp.concatenate(outs, axis=0), -1.0, 1.0)
+
+    # ---------- public API ----------
+
+    def enhance(
+        self,
+        video: jax.Array,                  # (F, H, W, 3) in [-1,1] at (height,width)
+        key_images: Sequence[jax.Array],   # one per chunk (or one total)
+        prompt_embeds: Optional[jax.Array] = None,
+        seed: Optional[int] = None,
+        use_randomized_blending: Optional[bool] = None,
+        chunk_size: Optional[int] = None,
+        overlap_size: Optional[int] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        seed = cfg.seed if seed is None else seed
+        blending = cfg.use_randomized_blending if use_randomized_blending is None else use_randomized_blending
+        chunk_size = chunk_size if chunk_size is not None else cfg.chunk_size
+        overlap_size = overlap_size if overlap_size is not None else (
+            cfg.overlap_size if blending else 0
+        )
+        stream = RngStream(seed, "enhance")
+        if prompt_embeds is None:
+            prompt_embeds = self.encode_prompts()
+
+        f = video.shape[0]
+        if not blending:
+            chunk_size = f
+            overlap_size = 0
+        stride = chunk_size - overlap_size
+        n_chunks = 1 if not blending else (f - chunk_size) // stride + 1
+        assert (n_chunks - 1) * stride + chunk_size == f, (
+            f"video of {f} frames not divisible into chunks of {chunk_size} "
+            f"with overlap {overlap_size}"
+        )
+        assert len(key_images) == n_chunks, (len(key_images), n_chunks)
+
+        # per-chunk key-frame conditionings (T = chunk_size per chunk)
+        conds = []
+        for i, img in enumerate(key_images):
+            clip_emb, il = self._encode_key_image_with_frames(
+                img, stream.key(10_000 + i), chunk_size
+            )
+            conds.append((clip_emb, il))
+
+        scheduler = self.m.scheduler
+        timesteps = scheduler.sdedit_timesteps(cfg.num_steps, cfg.strength)
+        z0 = self._encode_video(video, stream.key(1))
+        noise = jax.random.normal(stream.key(2), z0.shape, z0.dtype)
+        latents = scheduler.add_noise(z0, noise, int(timesteps[0]))
+
+        for si, t in enumerate(timesteps):
+            new_latents = latents
+            chunk_start = 0
+            for ci in range(n_chunks):
+                clip_emb, il = conds[ci]
+                chunk = latents[:, chunk_start : chunk_start + chunk_size]
+                denoised = self._denoise_chunk(
+                    self.m.unet_params, chunk, int(t), prompt_embeds, clip_emb,
+                    il, float(cfg.fps), num_inference_steps=cfg.num_steps,
+                )
+                if chunk_start == 0 or overlap_size == 0:
+                    offset = 0
+                else:
+                    offset = int(jax.random.randint(
+                        stream.key(3, si, ci), (), 0, overlap_size
+                    ))
+                new_latents = jax.lax.dynamic_update_slice_in_dim(
+                    new_latents, denoised[:, offset:], chunk_start + offset, axis=1
+                )
+                chunk_start += stride
+            latents = new_latents
+
+        return self._decode_latents(latents)
+
+    def _encode_key_image_with_frames(self, image, key, num_frames):
+        cfg = self.cfg
+        clip_size = self.m.clip_vision.cfg.image_size
+        sq = center_crop_wide(image, (cfg.width, cfg.width))
+        sq = jax.image.resize(sq, (clip_size, clip_size, 3), method="bilinear")
+        pooled, _ = self.m.clip_vision.apply(
+            self.m.clip_vision_params, clip_preprocess(sq[None], clip_size)
+        )
+        clip_emb = jnp.concatenate([jnp.zeros_like(pooled), pooled], axis=0)
+        img = center_crop_wide(image, (cfg.width, cfg.height))[None]
+        z = self.m.vae.apply(self.m.vae_params, img, key, method=AutoencoderKL.encode)
+        masks = [z] + [
+            jnp.ones_like(z) * ((i + 1) / (num_frames - 1)) for i in range(num_frames - 1)
+        ]
+        il = jnp.stack(masks, axis=1)
+        return clip_emb, jnp.concatenate([il, il], axis=0)
+
+    def enhance_with_keyframe_prepass(self, video: jax.Array, image: jax.Array,
+                                      seed: Optional[int] = None) -> jax.Array:
+        """Full randomized-blending flow incl. the key-frame pre-pass
+        (i2v_enhance_interface.py:90-118)."""
+        cfg = self.cfg
+        seed = cfg.seed if seed is None else seed
+        f = video.shape[0]
+        stride = cfg.chunk_size - cfg.overlap_size
+        starts = [s for s in range(0, f, stride) if s + cfg.chunk_size <= f]
+        if len(starts) <= 1:
+            return self.enhance(video, [image], seed=seed, use_randomized_blending=False)
+        key_frames = jnp.stack([video[s] for s in starts])  # (n_chunks, H, W, 3)
+        # pre-pass: enhance the key frames as one short video, conditioned
+        # on the input image, no blending
+        enhanced_keys = self.enhance(
+            key_frames, [image], seed=seed,
+            use_randomized_blending=False,
+        )
+        max_idx = stride * (len(starts) - 1) + cfg.chunk_size
+        return self.enhance(
+            video[:max_idx], [enhanced_keys[i] for i in range(len(starts))],
+            seed=seed, use_randomized_blending=True,
+        )

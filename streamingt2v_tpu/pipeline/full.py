@@ -1,0 +1,83 @@
+"""Full 3-stage driver: i2v -> enhance -> interpolate -> mp4.
+
+Rebuild of the reference `StreamingPipeline`
+(inference_i2v.py:51-259): per input image, stage 1 generates
+(num_frames+1)//2 frames at 576x1024, stage 2 SDEdit-enhances to
+1280x720 (optionally with randomized blending), stage 3 2x-interpolates
+to num_frames and writes mp4 at out_fps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from streamingt2v_tpu.config import PipelineConfig
+from streamingt2v_tpu.pipeline.enhance import EnhancePipeline
+from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
+from streamingt2v_tpu.pipeline.streaming import Stage1Pipeline
+from streamingt2v_tpu.utils import media
+from streamingt2v_tpu.utils.profiling import stage_timer
+
+
+class StreamingT2VPipeline:
+    """End-to-end pipeline.  Stages may be None to run partial pipelines."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        stage1: Optional[Stage1Pipeline] = None,
+        enhance: Optional[EnhancePipeline] = None,
+        interpolate: Optional[InterpolatePipeline] = None,
+    ):
+        self.cfg = cfg
+        self.stage1 = stage1
+        self.enhance = enhance
+        self.interpolate = interpolate
+
+    def image_to_video(self, image_u8: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
+        """uint8 (H, W, 3) -> uint8 stage-1 video ((num_frames+1)//2, 576, 1024, 3)."""
+        cfg = self.cfg
+        img = media.resize_to_stage1(image_u8, cfg.height, cfg.width)
+        with stage_timer("stage1_i2v"):
+            video = self.stage1.image_to_video(
+                jnp.asarray(media.to_model_range(img)), cfg.stage1_frames, seed
+            )
+        return media.to_uint8(np.asarray(video))
+
+    def enhance_video(self, video_u8: np.ndarray, image_u8: np.ndarray,
+                      seed: Optional[int] = None) -> np.ndarray:
+        """Stage 2: upscale to (enhance.height, enhance.width) + SDEdit."""
+        cfg = self.cfg.enhance
+        video = media.resize_video(video_u8, cfg.height, cfg.width)
+        image = media.resize_video(image_u8[None], cfg.height, cfg.width)[0]
+        video_f = jnp.asarray(media.to_model_range(video))
+        image_f = jnp.asarray(media.to_model_range(image))
+        with stage_timer("stage2_enhance"):
+            if self.cfg.use_randomized_blending:
+                out = self.enhance.enhance_with_keyframe_prepass(video_f, image_f, seed)
+            else:
+                out = self.enhance.enhance(video_f, [image_f], seed=seed,
+                                           use_randomized_blending=False)
+        return media.to_uint8(np.asarray(out))
+
+    def interpolate_video(self, video_u8: np.ndarray) -> np.ndarray:
+        """Stage 3: 2x interpolation to num_frames."""
+        video = jnp.asarray(video_u8.astype(np.float32) / 255.0)
+        with stage_timer("stage3_vfi"):
+            out = self.interpolate.interpolate_video(video, self.cfg.num_frames)
+        return np.clip(np.round(np.asarray(out) * 255.0), 0, 255).astype(np.uint8)
+
+    def __call__(self, image_path: str, output_path: str,
+                 seed: Optional[int] = None) -> str:
+        image = media.load_image(image_path)
+        video = self.image_to_video(image, seed)
+        if self.enhance is not None:
+            video = self.enhance_video(video, image, seed)
+        if self.interpolate is not None:
+            video = self.interpolate_video(video)
+        return media.save_video(output_path, video, fps=self.cfg.out_fps)

@@ -33,6 +33,11 @@ t_linear: Transform = lambda w: w.T
 t_conv2d: Transform = lambda w: w.transpose(2, 3, 1, 0)
 t_conv3d: Transform = lambda w: w.transpose(2, 3, 4, 1, 0)
 t_id: Transform = lambda w: w
+# torch Linear used where this package has a 1x1 conv: (O,I) -> (1,1,I,O)
+t_linear_to_conv1x1: Transform = lambda w: w.T[None, None]
+# concatenated-projection helpers (e.g. HF q/k/v -> fused in_proj)
+t_cat_linear = lambda ws: np.concatenate([w.T for w in ws], axis=1)
+t_cat_bias = lambda ws: np.concatenate(list(ws), axis=0)
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
@@ -464,13 +469,25 @@ def convert_state_dict(
             out[fx_path] = tmpl
             continue
         tk, transform = mapping[fx_path]
-        if tk not in state_dict:
+        keys = tk if isinstance(tk, tuple) else (tk,)
+        absent = [k for k in keys if k not in state_dict]
+        if absent:
             missing.append(fx_path)
             if strict:
-                raise KeyError(f"torch key {tk} (for {fx_path}) not in checkpoint")
+                raise KeyError(f"torch key(s) {absent} (for {fx_path}) not in checkpoint")
             out[fx_path] = tmpl
             continue
-        w = transform(np.asarray(state_dict[tk]))
+        try:
+            if isinstance(tk, tuple):
+                w = transform([np.asarray(state_dict[k]) for k in keys])
+            else:
+                w = transform(np.asarray(state_dict[tk]))
+        except Exception as e:
+            shapes = [np.asarray(state_dict[k]).shape for k in keys]
+            raise ValueError(
+                f"cannot transform {list(keys)} (shapes {shapes}) for "
+                f"{fx_path} (expected {tuple(tmpl.shape)}): {e}"
+            ) from e
         if tuple(w.shape) != tuple(tmpl.shape):
             raise ValueError(
                 f"shape mismatch for {fx_path} <- {tk}: {w.shape} vs {tmpl.shape}"

@@ -1,0 +1,231 @@
+"""Checkpoint locating + pipeline assembly from converted weights.
+
+Replaces reference utils/loader.py:18-52 (`download_ckpt`: local-first,
+then Google-Drive/HF download).  This environment has zero egress, so
+resolution is local-only with errors that state the expected layout:
+
+  ckpt_dir/
+    streamingsvd/model.safetensors   # PAIR/StreamingSVD whole-trainer dict
+    svd_xt/unet/...                  # diffusers SVD-XT (first chunk)
+    i2vgen-xl/{unet,vae,text_encoder,image_encoder,scheduler,tokenizer}/
+    vfi/ours.pkl                     # EMA-VFI
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+
+
+def resolve_ckpt(local_path: str, global_hint: str = "") -> str:
+    """Local-first checkpoint resolution (no network in this environment)."""
+    if os.path.exists(local_path):
+        return local_path
+    raise FileNotFoundError(
+        f"checkpoint not found at {local_path}. Download it out-of-band"
+        + (f" (reference source: {global_hint})" if global_hint else "")
+    )
+
+
+def load_stage1_checkpoints(stage1, ckpt_dir: str):
+    """Load the StreamingSVD whole-trainer checkpoint into the stage-1
+    pipeline's param pytrees (UNet+CAM, ControlNet, temporal VAE, CLIP
+    tower, conditioning VAE)."""
+    from streamingt2v_tpu.utils import checkpoint as ck
+
+    path = resolve_ckpt(
+        os.path.join(ckpt_dir, "streamingsvd", "model.safetensors"),
+        "PAIR/StreamingSVD/resolve/main/model.safetensors",
+    )
+    sd = ck.load_torch_file(path)
+    m = stage1.models
+    cfg = stage1.cfg
+
+    unet_vars, _ = ck.convert_state_dict(
+        sd, ck.unet_map(cfg.unet), m.unet_params
+    )
+    cn_vars, _ = ck.convert_state_dict(
+        sd, ck.controlnet_map(cfg.unet, cfg.controlnet), m.controlnet_params
+    )
+    vae_vars, _ = ck.convert_state_dict(
+        sd, ck.vae_map(cfg.vae, torch_prefix="first_stage_model"), m.vae_params
+    )
+    cond_vars = _convert_conditioner(sd, m, cfg)
+
+    models = dataclasses.replace(
+        m, unet_params=unet_vars, controlnet_params=cn_vars, vae_params=vae_vars,
+        conditioner_params=cond_vars,
+    )
+    # First-chunk SVD-XT weights ship in diffusers layout (svd_xt/); the
+    # diffusers-name map lands with the enhance loaders.  Until converted,
+    # reuse the streaming UNet's base weights (same architecture; CAM
+    # mergers are unused when hs_control is None).
+    svd_path = os.path.join(ckpt_dir, "svd_xt")
+    if os.path.exists(svd_path):
+        raise NotImplementedError(
+            "diffusers-layout SVD-XT conversion not wired yet; see utils/checkpoint.py"
+        )
+    return _replace_models(stage1, models)
+
+
+def _replace_models(stage1, models):
+    import copy
+
+    out = copy.copy(stage1)
+    out.models = models
+    return out
+
+
+def _convert_conditioner(sd, m, cfg):
+    """CLIP tower (embedder 0) + conditioning KL-VAE encoder (embedder 3)."""
+    from streamingt2v_tpu.utils import checkpoint as ck
+
+    params = m.conditioner_params["params"]
+    out = dict(params)
+    clip_cfg = m.conditioner.clip_cfg
+    if "clip" in params:
+        clip_vars, _ = ck.convert_state_dict(
+            sd,
+            ck.clip_visual_map(
+                clip_cfg, "conditioner.embedders.0.open_clip.model.visual"
+            ),
+            {"params": params["clip"]},
+        )
+        out["clip"] = clip_vars["params"]
+    if "cond_encoder" in params:
+        import dataclasses as dc
+
+        vcfg = dc.replace(cfg.vae, temporal_decoder=False, scale_factor=1.0)
+        enc_vars, _ = ck.convert_state_dict(
+            sd,
+            ck.vae_map(vcfg, torch_prefix="conditioner.embedders.3.encoder",
+                       use_quant_conv=True),
+            {"params": params["cond_encoder"]},
+        )
+        out["cond_encoder"] = enc_vars["params"]
+    return {"params": out}
+
+
+def _load_component_sd(root: str, sub: str):
+    """Load a diffusers component folder's weights (safetensors or .bin)."""
+    import glob as _glob
+
+    from streamingt2v_tpu.utils import checkpoint as ck
+
+    cand = sorted(
+        _glob.glob(os.path.join(root, sub, "*.safetensors"))
+        + _glob.glob(os.path.join(root, sub, "*.bin"))
+    )
+    if not cand:
+        raise FileNotFoundError(f"no weights found under {os.path.join(root, sub)}")
+    sd = {}
+    for path in cand:
+        sd.update(ck.load_torch_file(path))
+    return sd
+
+
+def load_enhance_pipeline(cfg, ckpt_dir: str):
+    """Assemble the stage-2 EnhancePipeline from a local ali-vilab/i2vgen-xl
+    checkpoint tree (diffusers layout)."""
+    import dataclasses as dc
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from streamingt2v_tpu.config import VAEConfig
+    from streamingt2v_tpu.diffusion.ddim import DDIMScheduler
+    from streamingt2v_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+    from streamingt2v_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextTower,
+        CLIPTokenizer,
+    )
+    from streamingt2v_tpu.models.enhance.unet import I2VGenXLUNet, I2VGenXLUNetConfig
+    from streamingt2v_tpu.models.vae import AutoencoderKL
+    from streamingt2v_tpu.pipeline.enhance import EnhanceModels, EnhancePipeline
+    from streamingt2v_tpu.utils import checkpoint as ck
+    from streamingt2v_tpu.utils import checkpoint_diffusers as ckd
+
+    root = os.path.join(ckpt_dir, "i2vgen-xl")
+    ucfg = I2VGenXLUNetConfig()
+    vcfg = dc.replace(VAEConfig(), temporal_decoder=False)
+    clip_v_cfg = CLIPVisionConfig()
+    clip_t_cfg = CLIPTextConfig()
+
+    unet = I2VGenXLUNet(ucfg)
+    vae = AutoencoderKL(vcfg, use_quant_conv=True)
+    clip_v = CLIPVisionTower(clip_v_cfg)
+    clip_t = CLIPTextTower(clip_t_cfg)
+
+    h = w = 8
+    u_tmpl = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+        jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1, 1024)), jnp.zeros((1, 77, 1024)),
+    )
+    v_tmpl = jax.eval_shape(vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    cv_tmpl = jax.eval_shape(clip_v.init, jax.random.PRNGKey(0),
+                             jnp.zeros((1, 224, 224, 3)))
+    ct_tmpl = jax.eval_shape(clip_t.init, jax.random.PRNGKey(0),
+                             jnp.zeros((1, 77), jnp.int32))
+
+    u_vars, _ = ck.convert_state_dict(
+        _load_component_sd(root, "unet"), ckd.i2vgen_unet_map(ucfg), u_tmpl)
+    v_vars, _ = ck.convert_state_dict(
+        _load_component_sd(root, "vae"), ckd.diffusers_vae_map(vcfg), v_tmpl)
+    cv_vars, _ = ck.convert_state_dict(
+        _load_component_sd(root, "image_encoder"),
+        ckd.hf_clip_vision_map(clip_v_cfg), cv_tmpl)
+    ct_vars, _ = ck.convert_state_dict(
+        _load_component_sd(root, "text_encoder"),
+        ckd.hf_clip_text_map(clip_t_cfg), ct_tmpl)
+
+    sched_path = os.path.join(root, "scheduler", "scheduler_config.json")
+    if os.path.exists(sched_path):
+        with open(sched_path) as f:
+            scheduler = DDIMScheduler.from_config(json.load(f))
+    else:
+        scheduler = DDIMScheduler()
+    tok_dir = os.path.join(root, "tokenizer")
+    tokenizer = None
+    if os.path.exists(os.path.join(tok_dir, "vocab.json")):
+        tokenizer = CLIPTokenizer.from_files(
+            os.path.join(tok_dir, "vocab.json"), os.path.join(tok_dir, "merges.txt")
+        )
+
+    models = EnhanceModels(
+        unet=unet, unet_params=u_vars, vae=vae, vae_params=v_vars,
+        clip_vision=clip_v, clip_vision_params=cv_vars,
+        text_encoder=clip_t, text_params=ct_vars,
+        scheduler=scheduler, tokenizer=tokenizer,
+    )
+    return EnhancePipeline(cfg.enhance, models)
+
+
+def load_interpolate_pipeline(cfg, ckpt_dir: str):
+    """Assemble the stage-3 pipeline from the EMA-VFI .pkl checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamingt2v_tpu.models.vfi import MultiScaleFlow
+    from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
+    from streamingt2v_tpu.utils import checkpoint as ck
+    from streamingt2v_tpu.utils.checkpoint_vfi import vfi_map
+
+    path = resolve_ckpt(os.path.join(ckpt_dir, "vfi", "ours.pkl"),
+                        "EMA-VFI ours.pkl (Google Drive, see reference README)")
+    sd = ck.load_torch_file(path)
+    # the published checkpoint prefixes keys with "module." (DDP artifact,
+    # reference Trainer.py:36-47)
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()
+          if "attn_mask" not in k and "HW" not in k}
+    model = MultiScaleFlow(cfg.vfi)
+    img = jnp.zeros((1, 64, 64, 3))
+    tmpl = jax.eval_shape(model.init, jax.random.PRNGKey(0), img, img)
+    params, _ = ck.convert_state_dict(sd, vfi_map(cfg.vfi), tmpl)
+    return InterpolatePipeline(model, params, tta=cfg.vfi.tta)
