@@ -83,17 +83,45 @@ class CrossAttention(nn.Module):
         return nn.Dense(x.shape[-1], name="to_out")(o)
 
 
+class APMContextMixer(nn.Module):
+    """Appearance Preservation Module context mixing
+    (BasicTransformerBlockWithAPM, attention.py:596-620): the 16+1 APM CLIP
+    tokens are mixed by a width-3 conv over the embedding axis, layer-normed,
+    and gated into the first (SVD) token by a learned silu(alpha).  Off by
+    default (config.yaml:115)."""
+
+    @nn.compact
+    def __call__(self, context):
+        if context.shape[1] <= 1:
+            return context
+        d = context.shape[-1]
+        # torch Conv1d(tokens, 1, k=3, padding=same) over the embedding axis
+        mixed = nn.Conv(1, (3,), padding="SAME", name="apm_conv")(
+            context.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)  # (B, 1, D)
+        s, b = _ln_params(self, "apm_ln", d)
+        mixed = layer_norm(mixed, s, b)
+        alpha = self.param("apm_alpha", nn.initializers.zeros, ())
+        return context[:, :1] + mixed * jax.nn.silu(alpha.astype(jnp.float32)).astype(
+            context.dtype
+        )
+
+
 class BasicTransformerBlock(nn.Module):
     """Self-attn -> cross-attn -> GEGLU-FF, each pre-LN residual
-    (attention.py:464-593)."""
+    (attention.py:464-593).  With `use_apm`, multi-token context is reduced
+    to a single mixed token first (attention.py:596-620)."""
 
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
     disable_self_attn: bool = False
+    use_apm: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
+        if self.use_apm and context is not None:
+            context = APMContextMixer(name="apm")(context)
         c = x.shape[-1]
         s1, b1 = _ln_params(self, "norm1", c)
         h = layer_norm(x, s1, b1)
@@ -175,8 +203,6 @@ class SpatialVideoTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, image_only_indicator):
-        if self.use_apm:
-            raise NotImplementedError("APM transformer blocks land with the conditioner")
         b, t, hh, ww, c = x.shape
         s = hh * ww
         inner = self.heads * self.dim_head
@@ -202,7 +228,7 @@ class SpatialVideoTransformer(nn.Module):
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,
-                name=f"block_{d}",
+                use_apm=self.use_apm, name=f"block_{d}",
             )(h, ctx_sp)
             # temporal: (B*T, S, C) -> (B*S, T, C)
             h5 = h.reshape(b, t, s, inner)

@@ -13,6 +13,7 @@ handles at speed-of-light without a custom kernel.  fp32 softmax always.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -23,6 +24,9 @@ from streamingt2v_tpu.ops.flash_attention import flash_attention
 # Below this many score-matrix elements per (batch*head), materializing
 # the (Lq, Lk) scores is cheaper than a kernel launch.
 _FLASH_MIN_SCORE_ELEMS = 2048 * 2048
+
+# Global override for experiments/benchmarks: "flash" | "xla" | "" (auto)
+_FORCED_BACKEND = os.environ.get("STREAMINGT2V_ATTN_BACKEND", "")
 
 
 def dot_product_attention(
@@ -65,6 +69,8 @@ def attention(
     kh = k.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
 
+    if backend is None and _FORCED_BACKEND:
+        backend = _FORCED_BACKEND
     if backend is None:
         use_flash = _on_tpu() and lq * lk >= _FLASH_MIN_SCORE_ELEMS
     else:

@@ -1,0 +1,189 @@
+"""Auxiliary-subsystem tests: EMA, LR schedules, regularizers, GAN losses,
+LPIPS structure, VFI losses, DiffusionEngine, data subsystem, APM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from streamingt2v_tpu.diffusion.engine import DiffusionEngine
+from streamingt2v_tpu.diffusion.gan_loss import (
+    PatchDiscriminator,
+    generator_loss,
+    hinge_d_loss,
+    vanilla_d_loss,
+)
+from streamingt2v_tpu.diffusion.lpips import LPIPS, lpips_map
+from streamingt2v_tpu.diffusion.lr_scheduler import (
+    warmup_cosine,
+    warmup_cosine_cycles,
+    warmup_linear_cycles,
+)
+from streamingt2v_tpu.diffusion.regularizers import VectorQuantizer, diagonal_gaussian
+from streamingt2v_tpu.models.vfi_loss import lap_loss, ternary_loss
+from streamingt2v_tpu.utils.ema import ema_init, ema_params, ema_update
+
+
+def test_ema_warmup_decay():
+    params = {"w": jnp.ones((4,))}
+    state = ema_init(params)
+    new = {"w": jnp.zeros((4,))}
+    state = ema_update(state, new, decay=0.9999)
+    # first update: decay = min(0.9999, 2/11) -> shadow = d*1 + (1-d)*0
+    np.testing.assert_allclose(np.asarray(ema_params(state)["w"]), 2.0 / 11.0, rtol=1e-5)
+    for _ in range(50):
+        state = ema_update(state, new)
+    assert float(ema_params(state)["w"][0]) < 0.2
+
+
+def test_lr_schedules():
+    s = warmup_cosine(10, 0.0, 1.0, 0.1, 100)
+    assert abs(float(s(0)) - 0.1) < 1e-6
+    assert abs(float(s(10)) - 1.0) < 1e-6
+    assert float(s(100)) < 1e-6
+    s2 = warmup_cosine_cycles([5, 5], [0.0, 0.0], [1.0, 0.5], [0.1, 0.1], [50, 50])
+    assert abs(float(s2(5)) - 1.0) < 1e-5
+    assert abs(float(s2(55)) - 0.5) < 1e-5  # second cycle warm end
+    s3 = warmup_linear_cycles([5], [0.1], [1.0], [0.0], [100])
+    assert abs(float(s3(5)) - 1.0) < 0.05
+    assert float(s3(99)) < 0.2
+
+
+def test_diagonal_gaussian():
+    moments = jnp.concatenate([jnp.ones((2, 4, 4, 2)), jnp.zeros((2, 4, 4, 2))], -1)
+    z_mode, log = diagonal_gaussian(moments)
+    np.testing.assert_allclose(np.asarray(z_mode), 1.0)
+    assert float(log["kl_loss"]) > 0
+    z_s, _ = diagonal_gaussian(moments, jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(z_s), 1.0)
+
+
+def test_vector_quantizer():
+    vq = VectorQuantizer(codebook_size=16, dim=4)
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 3, 3, 4), jnp.float32)
+    params = vq.init(jax.random.PRNGKey(0), z)
+    zq, log = vq.apply(params, z)
+    assert zq.shape == z.shape
+    assert log["indices"].shape == (2, 3, 3)
+    assert float(log["vq_loss"]) >= 0
+    # straight-through: gradient flows to z
+    g = jax.grad(lambda z: jnp.sum(vq.apply(params, z)[0]))(z)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_gan_losses():
+    real = jnp.asarray([2.0, 2.0])
+    fake = jnp.asarray([-2.0, -2.0])
+    assert float(hinge_d_loss(real, fake)) == 0.0  # perfectly separated
+    assert float(hinge_d_loss(fake, real)) > 2.0
+    assert float(vanilla_d_loss(real, fake)) < 0.3
+    assert float(generator_loss(fake)) == 2.0
+
+
+def test_patch_discriminator_shapes():
+    d = PatchDiscriminator(ndf=8, n_layers=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = d.init(jax.random.PRNGKey(0), x)
+    out = d.apply(params, x)
+    assert out.shape[0] == 1 and out.shape[-1] == 1
+
+
+def test_lpips_structure_and_map():
+    lp = LPIPS()
+    x = jnp.zeros((1, 32, 32, 3))
+    params = lp.init(jax.random.PRNGKey(0), x, x)
+    out = lp.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)  # identical inputs
+    from streamingt2v_tpu.utils.checkpoint import coverage_report
+
+    unmapped, extra = coverage_report(lpips_map(), params)
+    assert unmapped == [] and extra == [], (unmapped[:5], extra[:5])
+
+
+def test_lap_loss_zero_for_identical():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+    assert float(lap_loss(x, x, max_levels=3)) < 1e-6
+    y = x + 0.1
+    assert float(lap_loss(x, y, max_levels=3)) > 0
+
+
+def test_ternary_loss_detects_structure_change():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3), jnp.float32)
+    same = ternary_loss(x, x)
+    np.testing.assert_allclose(np.asarray(same), 0.0, atol=1e-6)
+    diff = ternary_loss(x, x[:, ::-1])
+    assert float(jnp.mean(diff)) > 0
+
+
+def test_diffusion_engine_train_and_sample():
+    from streamingt2v_tpu.config import GuiderConfig, SamplerConfig
+
+    w_true = 0.3
+
+    def builder(params):
+        def net(x, c_noise, cond):
+            return x * params["w"]
+
+        return net
+
+    engine = DiffusionEngine(
+        network_builder=builder,
+        sampler_cfg=SamplerConfig(num_steps=4, guider=GuiderConfig(kind="identity")),
+        optimizer=optax.adam(1e-2),
+        ema_decay=0.999,
+    )
+    state = engine.init_state({"w": jnp.asarray(1.0)})
+    batch = {
+        "latents": jnp.asarray(np.random.RandomState(0).randn(8, 4, 4, 2), jnp.float32),
+        "cond": {},
+    }
+    losses = []
+    step = jax.jit(engine.train_step)
+    for i in range(10):
+        state, loss = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 10
+    out = engine.sample(state, (1, 4, 4, 2), {}, {}, jax.random.PRNGKey(0))
+    assert out.shape == (1, 4, 4, 2)
+
+
+def test_data_subsystem():
+    from streamingt2v_tpu.data import SyntheticVideoDataset, batch_iterator
+
+    ds = SyntheticVideoDataset(num_clips=6, frames=4, size=16)
+    assert len(ds) == 6
+    sample = ds[0]
+    assert sample["video"].shape == (4, 16, 16, 3)
+    # deterministic
+    np.testing.assert_array_equal(ds[0]["video"], SyntheticVideoDataset(6, 4, 16)[0]["video"])
+    batches = list(batch_iterator(ds, 4, shuffle=True, seed=1))
+    assert len(batches) == 1 and batches[0]["video"].shape == (4, 4, 16, 16, 3)
+
+
+def test_apm_context_mixer():
+    from streamingt2v_tpu.models.unet_blocks import APMContextMixer
+
+    mixer = APMContextMixer()
+    ctx = jnp.asarray(np.random.RandomState(0).randn(2, 17, 32), jnp.float32)
+    params = mixer.init(jax.random.PRNGKey(0), ctx)
+    out = mixer.apply(params, ctx)
+    assert out.shape == (2, 1, 32)
+    # alpha=0 at init -> silu(0)=0 -> output == first token exactly
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ctx[:, :1]), atol=1e-6)
+    # single-token context passes through
+    one = mixer.apply(params, ctx[:, :1])
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(ctx[:, :1]))
+
+
+def test_apm_unet_block():
+    from streamingt2v_tpu.models.unet_blocks import BasicTransformerBlock
+
+    blk = BasicTransformerBlock(heads=2, dim_head=8, context_dim=32, use_apm=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16), jnp.float32)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(2, 17, 32), jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0), x, ctx)
+    out = blk.apply(params, x, ctx)
+    assert out.shape == x.shape
+    assert "apm" in params["params"]
