@@ -411,14 +411,16 @@ class MultiScaleFlow(nn.Module):
         self.blocks = heads
         self.unet = RefineUnet(cfg.embed_dims[0] * 2, name="unet")
 
-    def __call__(self, img0, img1, timestep: float = 0.5):
+    def calculate_flow(self, img0, img1, timestep: float = 0.5, af=None, mf=None):
+        """Two-stage coarse-to-fine flow + mask (flow_estimation.py:69-97).
+        Features may be precomputed (hr/multi inference)."""
         cfg = self.cfg
         b = img0.shape[0]
-        af, mf = self.feature_bone(img0, img1)
+        if af is None or mf is None:
+            af, mf = self.feature_bone(img0, img1)
         flow, mask = None, None
         warped0, warped1 = img0, img1
-        n_stage = len(cfg.hidden_dims)
-        for i in range(n_stage):
+        for i in range(len(cfg.hidden_dims)):
             mfi = mf[-1 - i]
             t = jnp.full_like(mfi[:b], timestep)
             motion_feat = jnp.concatenate(
@@ -435,20 +437,52 @@ class MultiScaleFlow(nn.Module):
                 )
             warped0 = backward_warp(img0, flow[..., 0:2])
             warped1 = backward_warp(img1, flow[..., 2:4])
+        return flow, mask
 
-        # warp the appearance pyramid (flow_estimation.py:58-66)
+    def warp_and_refine(self, img0, img1, af, flow, mask):
+        """coraseWarp_and_Refine (flow_estimation.py:99-110)."""
+        cfg = self.cfg
+        b = img0.shape[0]
+        warped0 = backward_warp(img0, flow[..., 0:2])
+        warped1 = backward_warp(img1, flow[..., 2:4])
         c0, c1 = [], []
         fl = flow
         for feat in af[: len(cfg.embed_dims)]:
             c0.append(backward_warp(feat[:b], fl[..., 0:2]))
             c1.append(backward_warp(feat[b:], fl[..., 2:4]))
             fl = resize_bilinear(fl, 0.5) * 0.5
-
         res = self.unet(img0, img1, warped0, warped1, mask, flow, c0, c1)
         res = res * 2.0 - 1.0
         m = jax.nn.sigmoid(mask)
         merged = warped0 * m + warped1 * (1 - m)
         return jnp.clip(merged + res, 0.0, 1.0)
+
+    def hr_forward(self, img0, img1, timestep: float = 0.5, down_scale: float = 0.5):
+        """hr_inference (Trainer.py:54-84): flow at down_scale, refine full."""
+        i0d = resize_bilinear(img0, down_scale)
+        i1d = resize_bilinear(img1, down_scale)
+        flow, mask = self.calculate_flow(i0d, i1d, timestep)
+        flow = resize_bilinear(flow, 1.0 / down_scale) * (1.0 / down_scale)
+        mask = resize_bilinear(mask, 1.0 / down_scale)
+        af, _ = self.feature_bone(img0, img1)
+        return self.warp_and_refine(img0, img1, af, flow, mask)
+
+    def multi_forward(self, img0, img1, time_list):
+        """multi_inference (Trainer.py:103-131): one backbone pass, many
+        timesteps."""
+        af, mf = self.feature_bone(img0, img1)
+        preds = []
+        for t in time_list:
+            flow, mask = self.calculate_flow(img0, img1, t, af, mf)
+            preds.append(self.warp_and_refine(img0, img1, af, flow, mask))
+        return preds
+
+    def __call__(self, img0, img1, timestep: float = 0.5):
+        cfg = self.cfg
+        b = img0.shape[0]
+        af, mf = self.feature_bone(img0, img1)
+        flow, mask = self.calculate_flow(img0, img1, timestep, af, mf)
+        return self.warp_and_refine(img0, img1, af, flow, mask)
 
 
 def interpolate_pair(model: MultiScaleFlow, params, img0, img1,

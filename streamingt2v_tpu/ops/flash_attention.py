@@ -44,8 +44,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    if kv_len % block_k != 0:
+        # only the final k block contains padding; branch so the common
+        # blocks skip the per-element iota+select entirely
+        def _mask(s):
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            return jnp.where(col < kv_len, s, NEG_INF)
+
+        s = jax.lax.cond(j == nk - 1, _mask, lambda s: s, s)
 
     # m/l scratch are (bq, 128) with all lanes equal (full-lane broadcast
     # keeps the VPU layout aligned); slice lane 0 when a (bq, 1) is needed.

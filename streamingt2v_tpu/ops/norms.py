@@ -10,10 +10,17 @@ profile shows an unfused boundary.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Opt-in fused Pallas GroupNorm (STREAMINGT2V_FUSED_GN=1).  Measured on
+# v5e: XLA's own fusion of the jnp chain is FASTER (2.8ms vs 4.2ms per
+# level-0 GN+SiLU), so the kernel stays off by default; it remains useful
+# as a fusion boundary for future epilogue fusions (e.g. GN+SiLU+conv).
+_FUSED_GN = os.environ.get("STREAMINGT2V_FUSED_GN", "0") == "1"
 
 
 def group_norm(
@@ -32,6 +39,22 @@ def group_norm(
     # this never diverges from the reference GroupNorm(32, C).
     num_groups = min(num_groups, c)
     assert c % num_groups == 0, (c, num_groups)
+
+    if (
+        _FUSED_GN
+        and x.ndim == 4
+        and act in (None, "silu")
+        and jax.default_backend() == "tpu"
+    ):
+        from streamingt2v_tpu.ops.fused_group_norm import fits_fused, fused_group_norm
+
+        n, hh, ww, cc = x.shape
+        if fits_fused(hh * ww, cc, x.dtype.itemsize):
+            out = fused_group_norm(
+                x.reshape(n, hh * ww, cc), scale, bias,
+                num_groups=num_groups, eps=eps, act=act or "none",
+            )
+            return out.reshape(x.shape)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32).reshape(*x.shape[:-1], num_groups, c // num_groups)
     # statistics over all non-batch dims: group channels and spatial dims.

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tiny random-weight config (smoke testing)")
     p.add_argument("--skip_enhance", action="store_true")
     p.add_argument("--skip_interpolation", action="store_true")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="PATH=VALUE",
+                   help="nested config override, e.g. --set sampler.num_steps=25")
     return p
 
 
@@ -59,6 +62,10 @@ def main(argv=None) -> int:
             use_randomized_blending=args.use_randomized_blending,
             chunk_size=args.chunk_size, overlap_size=args.overlap_size,
         )
+    if args.overrides:
+        from streamingt2v_tpu.utils.overrides import apply_overrides
+
+        cfg = apply_overrides(cfg, args.overrides)
     if args.use_memopt:
         print("[streamingt2v_tpu] --use_memopt is a no-op on TPU (sharding/remat instead)")
 

@@ -187,3 +187,34 @@ def test_apm_unet_block():
     out = blk.apply(params, x, ctx)
     assert out.shape == x.shape
     assert "apm" in params["params"]
+
+
+def test_config_overrides():
+    from streamingt2v_tpu.config import PipelineConfig
+    from streamingt2v_tpu.utils.overrides import apply_overrides
+
+    cfg = PipelineConfig()
+    cfg2 = apply_overrides(cfg, [
+        "sampler.num_steps=25", "inference.fps_id=7",
+        "unet.channel_mult=1,2,4", "use_randomized_blending=true",
+    ])
+    assert cfg2.sampler.num_steps == 25
+    assert cfg2.inference.fps_id == 7
+    assert cfg2.unet.channel_mult == (1, 2, 4)
+    assert cfg2.use_randomized_blending is True
+    assert cfg.sampler.num_steps == 30  # original untouched
+    import pytest as _pytest
+    with _pytest.raises(AttributeError, match="no field"):
+        apply_overrides(cfg, ["sampler.nope=1"])
+
+
+def test_state_io_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from streamingt2v_tpu.utils.state_io import load_pytree, save_pytree
+
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "b": {"c": jnp.ones((4,), jnp.bfloat16)}}
+    path = save_pytree(str(tmp_path / "state"), tree)
+    back = load_pytree(path, template=tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
+    assert back["b"]["c"].dtype == jnp.bfloat16

@@ -128,3 +128,21 @@ def test_timestep_embedding_shape_and_values():
 def test_timestep_embedding_repeat_only():
     emb = timestep_embedding(jnp.asarray([3.0]), 4, repeat_only=True)
     np.testing.assert_allclose(np.asarray(emb), [[3, 3, 3, 3]])
+
+
+def test_fused_group_norm_matches_reference():
+    from streamingt2v_tpu.ops.fused_group_norm import fused_group_norm
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(3, 48, 64).astype(np.float32))
+    scale = jnp.asarray(rng.randn(64).astype(np.float32))
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+    ref = group_norm(x.reshape(3, 6, 8, 64), scale, bias, num_groups=8, eps=1e-5)
+    out = fused_group_norm(x, scale, bias, num_groups=8, eps=1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref).reshape(3, 48, 64),
+                               atol=2e-5, rtol=2e-5)
+    # fused silu
+    ref_s = group_norm(x.reshape(3, 6, 8, 64), scale, bias, num_groups=8, eps=1e-5, act="silu")
+    out_s = fused_group_norm(x, scale, bias, num_groups=8, eps=1e-5, act="silu", interpret=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s).reshape(3, 48, 64),
+                               atol=2e-5, rtol=2e-5)

@@ -55,3 +55,49 @@ def test_shard_params_places_on_mesh():
     placed = shard_params(params, mesh)
     kernel_sharding = placed["block"]["ff_in"]["kernel"].sharding
     assert kernel_sharding.spec == P(None, "model")
+
+
+def test_sharded_inference_matches_single_device():
+    """Multi-chip inference: the streaming denoise step under a DP+TP mesh
+    must match the unsharded result (XLA inserts the collectives)."""
+    import numpy as np
+    from streamingt2v_tpu.config import ControlNetConfig, VideoUNetConfig
+    from streamingt2v_tpu.diffusion import denoise
+    from streamingt2v_tpu.models.controlnet import ControlNet
+    from streamingt2v_tpu.models.video_unet import VideoUNet
+    from streamingt2v_tpu.models.wrappers import streaming_wrapper
+
+    ucfg = VideoUNetConfig.tiny(controlnet_mode=True)
+    ccfg = ControlNetConfig.tiny()
+    unet, cn = VideoUNet(ucfg), ControlNet(ucfg, ccfg)
+    rng = np.random.RandomState(0)
+    B, T, FC, H, W = 2, 4, 2, 8, 8
+    scale = 2 ** (len(ccfg.conditioning_embedding_out_channels) - 1)
+    x = jnp.asarray(rng.randn(B, T, H, W, 4), jnp.float32)
+    cond = {
+        "concat": jnp.asarray(rng.randn(B, T, H, W, 4), jnp.float32),
+        "crossattn": jnp.asarray(rng.randn(B, T, 1, ucfg.context_dim), jnp.float32),
+        "vector": jnp.asarray(rng.randn(B, T, ucfg.adm_in_channels), jnp.float32),
+        "ctrl_frames": jnp.asarray(rng.randn(B, FC, H * scale, W * scale, 3), jnp.float32),
+    }
+    sigma = jnp.full((B,), 2.0)
+    xc = jnp.concatenate([x, cond["concat"]], axis=-1)
+    up = unet.init(jax.random.PRNGKey(0), xc, sigma, cond["crossattn"], cond["vector"])
+    cp = cn.init(jax.random.PRNGKey(1), xc[:, :FC], sigma,
+                 cond["crossattn"][:, :FC, :1], cond["vector"][:, :FC], cond["ctrl_frames"])
+
+    def step(up, cp, x, sigma, cond):
+        net = streaming_wrapper(unet, up, cn, cp, FC)
+        return denoise(net, x, sigma, cond)
+
+    ref = jax.jit(step)(up, cp, x, sigma, cond)
+
+    mesh = create_mesh(MeshConfig(data=2, seq=1, model=2))
+    with mesh:
+        up_s = shard_params(up, mesh)
+        cp_s = shard_params(cp, mesh)
+        batch_sh = logical_sharding(mesh, ("batch",))
+        x_s = jax.device_put(x, batch_sh)
+        cond_s = {k: jax.device_put(v, batch_sh) for k, v in cond.items()}
+        out = jax.jit(step)(up_s, cp_s, x_s, jax.device_put(sigma, batch_sh), cond_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)

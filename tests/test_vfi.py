@@ -165,3 +165,20 @@ def test_interpolate_video_target_len_even(vfi_model):
     assert out.shape == (8, 32, 32, 3)
     out = pipe.interpolate_video(video, target_len=7)
     assert out.shape == (7, 32, 32, 3)
+
+
+def test_vfi_hr_and_multi_inference(vfi_model):
+    from streamingt2v_tpu.models.vfi import MultiScaleFlow
+
+    model, params, cfg = vfi_model
+    rng = np.random.RandomState(5)
+    img0 = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    img1 = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+    hr = model.apply(params, img0, img1, 0.5, 0.5, method=MultiScaleFlow.hr_forward)
+    assert hr.shape == (1, 32, 32, 3)
+    preds = model.apply(params, img0, img1, (0.25, 0.5, 0.75),
+                        method=MultiScaleFlow.multi_forward)
+    assert len(preds) == 3 and preds[0].shape == (1, 32, 32, 3)
+    # multi at t=0.5 equals the plain forward (single backbone pass shared)
+    plain = model.apply(params, img0, img1, 0.5)
+    np.testing.assert_allclose(np.asarray(preds[1]), np.asarray(plain), atol=1e-5)
