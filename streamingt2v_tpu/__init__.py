@@ -22,3 +22,21 @@ Layer map (TPU-first redesign of reference layers L0-L7, see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax-heavy modules at package
+    import time)."""
+    if name == "PipelineConfig":
+        from streamingt2v_tpu.config import PipelineConfig
+
+        return PipelineConfig
+    if name == "build_pipeline":
+        from streamingt2v_tpu.pipeline.build import build_pipeline
+
+        return build_pipeline
+    if name == "StreamingT2VPipeline":
+        from streamingt2v_tpu.pipeline.full import StreamingT2VPipeline
+
+        return StreamingT2VPipeline
+    raise AttributeError(name)

@@ -37,13 +37,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Matmuls take the native (bf16) inputs — casting to f32 first would
+    # run the MXU in its much slower f32 mode; accumulation is f32 via
+    # preferred_element_type.  Softmax math stays f32.
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk)
+    ) * scale  # (bq, bk) f32
     if kv_len % block_k != 0:
         # only the final k block contains padding; branch so the common
         # blocks skip the per-element iota+select entirely
@@ -61,7 +64,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
     alpha = jnp.exp(m_prev - m_new)
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha[:, 0:1] + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     m_scr[:] = m_new
 
@@ -86,7 +89,7 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     *,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
