@@ -205,7 +205,7 @@ class EnhanceConfig:
 
     num_steps: int = 30
     strength: float = 0.97
-    guidance_scale: float = 7.5
+    guidance_scale: float = 9.0  # i2v_enhance_interface.py:112,130
     chunk_size: int = 38
     overlap_size: int = 12
     use_randomized_blending: bool = False
@@ -213,11 +213,12 @@ class EnhanceConfig:
     width: int = 1280
     fps: int = 16
     seed: int = 8888  # fixed enhancement seed (i2v_enhance_interface.py:66)
-    prompt: str = (
-        "High Quality, HD, 8K, detailed, photorealistic, cinematic lighting"
-    )
+    # fixed quality prompts (i2v_enhance_interface.py:87-88)
+    prompt: str = "High Quality, HQ, detailed."
     negative_prompt: str = (
-        "Distorted, blurry, discontinuous, ugly, deformed, disfigured, low quality"
+        "Distorted, blurry, discontinuous, Ugly, blurry, low resolution, "
+        "motionless, static, disfigured, disconnected limbs, Ugly faces, "
+        "incomplete arms"
     )
 
 
@@ -282,6 +283,19 @@ class PipelineConfig:
     controlnet: ControlNetConfig = field(default_factory=ControlNetConfig)
     vae: VAEConfig = field(default_factory=VAEConfig)
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    # The first 25-frame chunk runs under the SVD-XT pipeline defaults
+    # (diffusers StableVideoDiffusionPipeline: 25 steps, Karras sigmas
+    # [0.002, 700] == the EDM rho-7 schedule, per-frame guidance 1.0->3.0),
+    # not the streaming sampler (reference streaming_svd.py:388-390).
+    first_chunk_sampler: SamplerConfig = field(
+        default_factory=lambda: SamplerConfig(
+            num_steps=25,
+            discretization="edm",
+            sigma_min=0.002,
+            sigma_max=700.0,
+            guider=GuiderConfig(min_scale=1.0, max_scale=3.0, num_frames=25),
+        )
+    )
     conditioner: ConditionerConfig = field(default_factory=ConditionerConfig)
     inference: InferenceParams = field(default_factory=InferenceParams)
     enhance: EnhanceConfig = field(default_factory=EnhanceConfig)
@@ -312,6 +326,10 @@ class PipelineConfig:
                 SamplerConfig(),
                 num_steps=3,
                 guider=GuiderConfig(num_frames=5),
+            ),
+            first_chunk_sampler=SamplerConfig(
+                num_steps=3, discretization="edm", sigma_max=700.0,
+                guider=GuiderConfig(min_scale=1.0, max_scale=3.0, num_frames=5),
             ),
             conditioner=ConditionerConfig(clip_embed_dim=32, vector_outdim=8, use_clip=False),
             inference=InferenceParams(

@@ -72,7 +72,29 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
     )
 
 
+def shard_stage1_models(models: StreamingModels, mesh) -> StreamingModels:
+    """Place every param pytree on the mesh per the logical TP rules
+    (projection/FF weights shard over `model`; the rest replicate).  Jitted
+    pipeline calls then inherit the shardings from their inputs — no code
+    changes needed in the forward functions."""
+    import dataclasses
+
+    from streamingt2v_tpu.parallel.sharding import shard_params
+
+    return dataclasses.replace(
+        models,
+        unet_params=shard_params(models.unet_params, mesh),
+        controlnet_params=shard_params(models.controlnet_params, mesh),
+        svd_unet_params=shard_params(models.svd_unet_params, mesh),
+        vae_params=shard_params(models.vae_params, mesh),
+        conditioner_params=shard_params(models.conditioner_params, mesh),
+    )
+
+
 def build_pipeline(cfg: PipelineConfig, seed: int = 0,
-                   clip_cfg: Optional[CLIPVisionConfig] = None) -> Stage1Pipeline:
+                   clip_cfg: Optional[CLIPVisionConfig] = None,
+                   mesh=None) -> Stage1Pipeline:
     models = build_models(cfg, jax.random.PRNGKey(seed), clip_cfg)
+    if mesh is not None and mesh.size > 1:
+        models = shard_stage1_models(models, mesh)
     return Stage1Pipeline(cfg, models)

@@ -83,8 +83,8 @@ class Stage1Pipeline:
     # ---------- chunk generators (jitted; params flow through jit args
     # rather than closures so they are not captured as constants) ----------
 
-    def _sample_latents(self, network_fn, shape, cond, uc, key):
-        sampler = make_sampler(self.cfg.sampler)
+    def _sample_latents(self, network_fn, shape, cond, uc, key, sampler_cfg=None):
+        sampler = make_sampler(sampler_cfg or self.cfg.sampler)
 
         def denoise_fn(x, sigma, c):
             return denoise(network_fn, x, sigma, c)
@@ -105,7 +105,8 @@ class Stage1Pipeline:
         k_cond, k_sample = jax.random.split(key)
         c, uc = self._conditioning_with(cond_params, image, k_cond, num_frames)
         net = openai_wrapper(m.svd_unet, svd_params)
-        z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample)
+        z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample,
+                                 sampler_cfg=self.cfg.first_chunk_sampler)
         return self._decode_with(vae_params, z)
 
     def _stream_chunk_impl(self, unet_params, cn_params, vae_params, cond_params,

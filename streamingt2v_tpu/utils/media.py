@@ -109,6 +109,8 @@ def save_video(path: str, video: np.ndarray, fps: int = 24) -> str:
 def load_video(path: str) -> np.ndarray:
     import cv2
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     cap = cv2.VideoCapture(path)
     frames: List[np.ndarray] = []
     while True:

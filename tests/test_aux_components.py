@@ -218,3 +218,35 @@ def test_state_io_roundtrip(tmp_path):
     back = load_pytree(path, template=tree)
     np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
     assert back["b"]["c"].dtype == jnp.bfloat16
+
+
+def test_mawe_metric():
+    from streamingt2v_tpu.utils.metrics import mawe, warp_error_and_ofs
+
+    # translating pattern with EXACT known flow: warp error ~ 0
+    rng = np.random.RandomState(0)
+    base = rng.rand(24, 32, 3).astype(np.float32)
+    video = np.stack([np.roll(base, -2 * t, axis=1) for t in range(5)])
+
+    def true_flow(f0, f1):
+        # frame t's content appears at x-2 in frame t+1... sampling frame
+        # t+1 at (x + 2) recovers frame t
+        return jnp.broadcast_to(jnp.asarray([-2.0, 0.0]), f0.shape[:3] + (2,))
+
+    w, ofs = warp_error_and_ofs(jnp.asarray(video), true_flow)
+    # interior pixels warp exactly (roll wraps; borders clamp)
+    assert float(ofs) == 2.0
+    assert float(w) < 0.05
+    m = mawe(jnp.asarray(video), true_flow)
+    assert float(m) < 0.01
+
+    # static video with zero flow -> OFS ~ 0 -> MAWE guards the div
+    def zero_flow(f0, f1):
+        return jnp.zeros(f0.shape[:3] + (2,))
+
+    static = jnp.asarray(np.stack([base] * 5))
+    assert np.isfinite(float(mawe(static, zero_flow)))
+
+    # flickering video under zero flow scores worse than the coherent one
+    flicker = jnp.asarray(rng.rand(5, 24, 32, 3).astype(np.float32))
+    assert float(mawe(flicker, true_flow)) > float(m)

@@ -49,3 +49,19 @@ def test_seed_changes_output(pipeline):
     v1 = pipeline.image_to_video(_image(cfg), num_frames=5, seed=1)
     v2 = pipeline.image_to_video(_image(cfg), num_frames=5, seed=2)
     assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+
+def test_pipeline_on_mesh_matches_single_device(pipeline):
+    """build_pipeline(mesh=...) with TP-sharded params produces the same
+    video as the unsharded pipeline."""
+    from streamingt2v_tpu.config import MeshConfig, PipelineConfig
+    from streamingt2v_tpu.parallel.mesh import create_mesh
+    from streamingt2v_tpu.pipeline.build import build_pipeline
+
+    cfg = pipeline.cfg
+    img = _image(cfg)
+    ref = pipeline.image_to_video(img, num_frames=5, seed=3)
+    mesh = create_mesh(MeshConfig(data=1, seq=1, model=2))
+    sharded = build_pipeline(PipelineConfig.tiny(), seed=0, mesh=mesh)
+    out = sharded.image_to_video(img, num_frames=5, seed=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
