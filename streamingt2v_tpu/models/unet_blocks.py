@@ -60,7 +60,8 @@ class FeedForward(nn.Module):
         inner = int(x.shape[-1] * self.mult)
         h = nn.Dense(inner * 2, name="proj")(x)
         a, b = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.gelu(b.astype(jnp.float32)).astype(b.dtype)
+        # exact (erf) GELU: torch F.gelu's default, used by sgm/diffusers
+        h = a * jax.nn.gelu(b.astype(jnp.float32), approximate=False).astype(b.dtype)
         return nn.Dense(self.dim_out, name="out")(h)
 
 
