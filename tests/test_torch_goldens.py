@@ -352,3 +352,148 @@ def test_clip_text_layer_golden():
     causal = jnp.triu(jnp.full((L, L), -1e9, jnp.float32), k=1)
     out = CLIPTextLayer(cfg).apply(params, _j(x), causal)
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# UNet VideoResBlock: spatial ResBlock + temporal 3D ResBlock (emb per
+# frame) + AlphaBlender with alpha=sigmoid(mix) weighting the SPATIAL
+# branch (video_model.py:16-85, util.py:312-370)
+# ---------------------------------------------------------------------------
+
+def test_unet_video_res_block_golden():
+    c, emb_dim, B, T = 32, 48, 1, 3
+
+    class TorchVideoRes(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.s_in_norm = tnn.GroupNorm(32, c, eps=1e-5)
+            self.s_in_conv = tnn.Conv2d(c, c, 3, padding=1)
+            self.s_emb = tnn.Linear(emb_dim, c)
+            self.s_out_norm = tnn.GroupNorm(32, c, eps=1e-5)
+            self.s_out_conv = tnn.Conv2d(c, c, 3, padding=1)
+            self.t_in_norm = tnn.GroupNorm(32, c, eps=1e-5)
+            self.t_in_conv = tnn.Conv3d(c, c, (3, 1, 1), padding=(1, 0, 0))
+            self.t_emb = tnn.Linear(emb_dim, c)
+            self.t_out_norm = tnn.GroupNorm(32, c, eps=1e-5)
+            self.t_out_conv = tnn.Conv3d(c, c, (3, 1, 1), padding=(1, 0, 0))
+            self.mix = tnn.Parameter(torch.tensor([0.7]))
+
+        def forward(self, x, emb):  # x: (B*T, C, H, W); emb: (B*T, D)
+            h = self.s_in_conv(F.silu(self.s_in_norm(x)))
+            h = h + self.s_emb(F.silu(emb))[:, :, None, None]
+            h = self.s_out_conv(F.silu(self.s_out_norm(h)))
+            x_sp = x + h
+            # temporal: (B, C, T, H, W); emb per frame added over channels
+            xt = x_sp.reshape(B, T, c, *x.shape[2:]).permute(0, 2, 1, 3, 4)
+            h = self.t_in_conv(F.silu(self.t_in_norm(xt)))
+            e = self.t_emb(F.silu(emb)).reshape(B, T, c).permute(0, 2, 1)
+            h = h + e[:, :, :, None, None]
+            h = self.t_out_conv(F.silu(self.t_out_norm(h)))
+            x_tmp = xt + h
+            alpha = torch.sigmoid(self.mix)
+            out = alpha * xt + (1 - alpha) * x_tmp  # alpha weights SPATIAL
+            return out.permute(0, 2, 1, 3, 4).reshape(B * T, c, *x.shape[2:])
+
+    tb = TorchVideoRes().eval()
+    x = torch.randn(B * T, c, 6, 6)
+    emb = torch.randn(B * T, emb_dim)
+    ref = tb(x, emb).detach().numpy()
+
+    from streamingt2v_tpu.models.unet_blocks import UNetVideoResBlock
+
+    def conv2(m):
+        return {"kernel": jnp.asarray(t_conv2d(m.weight.detach().numpy())), "bias": _j(m.bias)}
+
+    def conv3(m):
+        return {"kernel": jnp.asarray(t_conv3d(m.weight.detach().numpy())), "bias": _j(m.bias)}
+
+    def lin(m):
+        return {"kernel": jnp.asarray(t_linear(m.weight.detach().numpy())), "bias": _j(m.bias)}
+
+    params = {"params": {
+        "spatial": {
+            "in_norm_scale": _j(tb.s_in_norm.weight), "in_norm_bias": _j(tb.s_in_norm.bias),
+            "in_conv": conv2(tb.s_in_conv), "emb_proj": lin(tb.s_emb),
+            "out_norm_scale": _j(tb.s_out_norm.weight), "out_norm_bias": _j(tb.s_out_norm.bias),
+            "out_conv": conv2(tb.s_out_conv),
+        },
+        "time_stack": {
+            "in_norm_scale": _j(tb.t_in_norm.weight), "in_norm_bias": _j(tb.t_in_norm.bias),
+            "in_conv": conv3(tb.t_in_conv), "emb_proj": lin(tb.t_emb),
+            "out_norm_scale": _j(tb.t_out_norm.weight), "out_norm_bias": _j(tb.t_out_norm.bias),
+            "out_conv": conv3(tb.t_out_conv),
+        },
+        "time_mixer_mix_factor": _j(tb.mix),
+    }}
+    xj = _j(x.reshape(B, T, c, 6, 6).permute(0, 1, 3, 4, 2))
+    ej = _j(emb.reshape(B, T, emb_dim))
+    ind = jnp.zeros((B, T), bool)
+    out = UNetVideoResBlock(c).apply(params, xj, ej, ind)
+    ref_j = ref.reshape(B, T, c, 6, 6).transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(out), ref_j, atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# VAE VideoResBlock: spatial ResnetBlock + temporal stack (no emb), with
+# alpha=sigmoid(mix) weighting the TEMPORAL branch (temporal_ae.py:16-81)
+# ---------------------------------------------------------------------------
+
+def test_vae_video_res_block_golden():
+    c, B, T = 32, 1, 3
+
+    class TorchVaeVideoRes(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.GroupNorm(32, c, eps=1e-6)
+            self.conv1 = tnn.Conv2d(c, c, 3, padding=1)
+            self.norm2 = tnn.GroupNorm(32, c, eps=1e-6)
+            self.conv2 = tnn.Conv2d(c, c, 3, padding=1)
+            self.t_in_norm = tnn.GroupNorm(32, c, eps=1e-5)
+            self.t_in_conv = tnn.Conv3d(c, c, (3, 1, 1), padding=(1, 0, 0))
+            self.t_out_norm = tnn.GroupNorm(32, c, eps=1e-5)
+            self.t_out_conv = tnn.Conv3d(c, c, (3, 1, 1), padding=(1, 0, 0))
+            self.mix = tnn.Parameter(torch.tensor([0.3]))
+
+        def forward(self, x):  # (B*T, C, H, W)
+            h = self.conv1(F.silu(self.norm1(x)))
+            h = self.conv2(F.silu(self.norm2(h)))
+            x_sp = x + h
+            xt = x_sp.reshape(B, T, c, *x.shape[2:]).permute(0, 2, 1, 3, 4)
+            h = self.t_in_conv(F.silu(self.t_in_norm(xt)))
+            h = self.t_out_conv(F.silu(self.t_out_norm(h)))
+            x_tmp = xt + h
+            alpha = torch.sigmoid(self.mix)
+            out = alpha * x_tmp + (1 - alpha) * xt  # alpha weights TEMPORAL
+            return out.permute(0, 2, 1, 3, 4).reshape(B * T, c, *x.shape[2:])
+
+    tb = TorchVaeVideoRes().eval()
+    x = torch.randn(B * T, c, 6, 6)
+    ref = tb(x).detach().numpy()
+
+    from streamingt2v_tpu.models.vae import VideoResBlock
+
+    def conv2(m):
+        return {"kernel": jnp.asarray(t_conv2d(m.weight.detach().numpy())), "bias": _j(m.bias)}
+
+    def conv3(m):
+        return {"kernel": jnp.asarray(t_conv3d(m.weight.detach().numpy())), "bias": _j(m.bias)}
+
+    params = {"params": {
+        "spatial": {
+            "norm1_scale": _j(tb.norm1.weight), "norm1_bias": _j(tb.norm1.bias),
+            "conv1": conv2(tb.conv1),
+            "norm2_scale": _j(tb.norm2.weight), "norm2_bias": _j(tb.norm2.bias),
+            "conv2": conv2(tb.conv2),
+        },
+        "time_stack": {
+            "in_norm_scale": _j(tb.t_in_norm.weight), "in_norm_bias": _j(tb.t_in_norm.bias),
+            "in_conv": conv3(tb.t_in_conv),
+            "out_norm_scale": _j(tb.t_out_norm.weight), "out_norm_bias": _j(tb.t_out_norm.bias),
+            "out_conv": conv3(tb.t_out_conv),
+        },
+        "mix_factor": _j(tb.mix),
+    }}
+    xj = _j(x.reshape(B, T, c, 6, 6).permute(0, 1, 3, 4, 2))
+    out = VideoResBlock(c).apply(params, xj)
+    ref_j = ref.reshape(B, T, c, 6, 6).transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(out), ref_j, atol=3e-5, rtol=3e-5)
