@@ -497,3 +497,92 @@ def test_vae_video_res_block_golden():
     out = VideoResBlock(c).apply(params, xj)
     ref_j = ref.reshape(B, T, c, 6, 6).transpose(0, 1, 3, 4, 2)
     np.testing.assert_allclose(np.asarray(out), ref_j, atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# diffusers TransformerTemporalModel: GN(1e-6) over (C,T,H,W), linear
+# proj_in on (B*H*W, T, C), basic block (double self-attn, GEGLU), linear
+# proj_out, residual (transformer_temporal.py:71-185)
+# ---------------------------------------------------------------------------
+
+def test_transformer_temporal_golden():
+    c, heads, dh, B, T, H, W = 32, 4, 8, 1, 3, 4, 4
+    inner = heads * dh
+
+    class TorchTT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm = tnn.GroupNorm(8, c, eps=1e-6)
+            self.proj_in = tnn.Linear(c, inner)
+            self.norm1 = tnn.LayerNorm(inner)
+            self.q1 = tnn.Linear(inner, inner, bias=False)
+            self.k1 = tnn.Linear(inner, inner, bias=False)
+            self.v1 = tnn.Linear(inner, inner, bias=False)
+            self.o1 = tnn.Linear(inner, inner)
+            self.norm2 = tnn.LayerNorm(inner)
+            self.q2 = tnn.Linear(inner, inner, bias=False)
+            self.k2 = tnn.Linear(inner, inner, bias=False)
+            self.v2 = tnn.Linear(inner, inner, bias=False)
+            self.o2 = tnn.Linear(inner, inner)
+            self.norm3 = tnn.LayerNorm(inner)
+            self.ff_proj = tnn.Linear(inner, inner * 8)
+            self.ff_out = tnn.Linear(inner * 4, inner)
+            self.proj_out = tnn.Linear(inner, c)
+
+        def attn(self, h, q, k, v, o):
+            b, n, _ = h.shape
+            qh = q(h).reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+            kh = k(h).reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+            vh = v(h).reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+            out = F.scaled_dot_product_attention(qh, kh, vh)
+            return o(out.permute(0, 2, 1, 3).reshape(b, n, heads * dh))
+
+        def forward(self, x):  # (B*T, C, H, W)
+            residual = x
+            h = x.reshape(B, T, c, H, W).permute(0, 2, 1, 3, 4)
+            h = self.norm(h)
+            h = h.permute(0, 3, 4, 2, 1).reshape(B * H * W, T, c)
+            h = self.proj_in(h)
+            h = h + self.attn(self.norm1(h), self.q1, self.k1, self.v1, self.o1)
+            h = h + self.attn(self.norm2(h), self.q2, self.k2, self.v2, self.o2)
+            a, gate = self.ff_proj(self.norm3(h)).chunk(2, dim=-1)
+            h = h + self.ff_out(a * F.gelu(gate))
+            h = self.proj_out(h)
+            h = h.reshape(B, H, W, T, c).permute(0, 3, 4, 1, 2).reshape(B * T, c, H, W)
+            return h + residual
+
+    tt = TorchTT().eval()
+    x = torch.randn(B * T, c, H, W)
+    ref = tt(x).detach().numpy()
+
+    from streamingt2v_tpu.models.enhance.unet import TransformerTemporal
+
+    def lin(m, bias=True):
+        d = {"kernel": jnp.asarray(t_linear(m.weight.detach().numpy()))}
+        if bias:
+            d["bias"] = _j(m.bias)
+        return d
+
+    def ln(m):
+        return _j(m.weight), _j(m.bias)
+
+    n1s, n1b = ln(tt.norm1); n2s, n2b = ln(tt.norm2); n3s, n3b = ln(tt.norm3)
+    params = {"params": {
+        "norm_scale": _j(tt.norm.weight), "norm_bias": _j(tt.norm.bias),
+        "proj_in": lin(tt.proj_in),
+        "block_0": {
+            "norm1_scale": n1s, "norm1_bias": n1b,
+            "attn1": {"to_q": lin(tt.q1, False), "to_k": lin(tt.k1, False),
+                      "to_v": lin(tt.v1, False), "to_out": lin(tt.o1)},
+            "norm2_scale": n2s, "norm2_bias": n2b,
+            "attn2": {"to_q": lin(tt.q2, False), "to_k": lin(tt.k2, False),
+                      "to_v": lin(tt.v2, False), "to_out": lin(tt.o2)},
+            "norm3_scale": n3s, "norm3_bias": n3b,
+            "ff": {"proj": lin(tt.ff_proj), "out": lin(tt.ff_out)},
+        },
+        "proj_out": lin(tt.proj_out),
+    }}
+    xj = _j(x.reshape(B, T, c, H, W).permute(0, 1, 3, 4, 2))
+    out = TransformerTemporal(heads, dh, groups=8).apply(params, xj)
+    ref_j = ref.reshape(B, T, c, H, W).transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(out), ref_j, atol=3e-5, rtol=3e-5)
