@@ -210,8 +210,10 @@ class SpatialVideoTransformer(nn.Module):
         x_in = x
 
         gs, gb = _gn_params(self, "norm", c)
-        h = group_norm(x, gs, gb, eps=1e-6)
-        h = nn.Dense(inner, name="proj_in")(h)
+        # per-FRAME GroupNorm statistics: the reference normalizes the
+        # (B*T, C, H, W) view (attention.py:789), not across frames
+        h = group_norm(x.reshape(b * t, hh, ww, c), gs, gb, eps=1e-6)
+        h = nn.Dense(inner, name="proj_in")(h).reshape(b, t, hh, ww, inner)
 
         # frame-index positional embedding for the temporal branch
         frame_ids = jnp.arange(t, dtype=jnp.float32)

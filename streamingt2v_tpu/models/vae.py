@@ -208,7 +208,11 @@ class VideoDecoder(nn.Module):
                 h = spatial(h, Upsample(name=f"up_{i}_upsample"))
         c = h.shape[-1]
         s, bias = _gn_params(self, "norm_out", c)
-        h = group_norm(h, s, bias, eps=1e-6, act="silu")
+        # per-frame statistics: the reference applies Decoder.norm_out on
+        # the (B*T, C, H, W) stream (model.py:739-741)
+        bb, tt, hh2, ww2, _ = h.shape
+        h = group_norm(h.reshape(bb * tt, hh2, ww2, c), s, bias, eps=1e-6,
+                       act="silu").reshape(bb, tt, hh2, ww2, c)
         return AE3DConv(cfg.out_ch, cfg.video_kernel_size, name="conv_out")(h)
 
 

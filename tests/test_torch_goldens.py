@@ -586,3 +586,165 @@ def test_transformer_temporal_golden():
     out = TransformerTemporal(heads, dh, groups=8).apply(params, xj)
     ref_j = ref.reshape(B, T, c, H, W).transpose(0, 1, 3, 4, 2)
     np.testing.assert_allclose(np.asarray(out), ref_j, atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# SpatialVideoTransformer (depth 1): GN + linear proj_in, spatial basic
+# block, temporal block on (B*S, T, C) with frame-index time_pos_embed and
+# ff_in, AlphaBlender (alpha->spatial), linear proj_out, residual
+# (video_attention.py:174-333)
+# ---------------------------------------------------------------------------
+
+def test_spatial_video_transformer_golden():
+    c, heads, dh, B, T, H, W = 32, 4, 8, 1, 3, 2, 2
+    inner = heads * dh
+    ctx_dim = 48
+    S = H * W
+
+    def mha(h, ctx, q, k, v, o):
+        b, n, _ = h.shape
+        m = ctx.shape[1]
+        qh = q(h).reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+        kh = k(ctx).reshape(b, m, heads, dh).permute(0, 2, 1, 3)
+        vh = v(ctx).reshape(b, m, heads, dh).permute(0, 2, 1, 3)
+        out = F.scaled_dot_product_attention(qh, kh, vh)
+        return o(out.permute(0, 2, 1, 3).reshape(b, n, heads * dh))
+
+    def geglu(h, proj, out):
+        a, gate = proj(h).chunk(2, dim=-1)
+        return out(a * F.gelu(gate))
+
+    def timestep_embedding_torch(t, dim):
+        half = dim // 2
+        freqs = torch.exp(-torch.log(torch.tensor(10000.0)) *
+                          torch.arange(half, dtype=torch.float32) / half)
+        args = t[:, None].float() * freqs[None]
+        return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+    class TorchSVT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm = tnn.GroupNorm(32, c, eps=1e-6)
+            self.proj_in = tnn.Linear(c, inner)
+            # spatial basic block
+            self.s_norm1 = tnn.LayerNorm(inner)
+            self.s_q1 = tnn.Linear(inner, inner, bias=False)
+            self.s_k1 = tnn.Linear(inner, inner, bias=False)
+            self.s_v1 = tnn.Linear(inner, inner, bias=False)
+            self.s_o1 = tnn.Linear(inner, inner)
+            self.s_norm2 = tnn.LayerNorm(inner)
+            self.s_q2 = tnn.Linear(inner, inner, bias=False)
+            self.s_k2 = tnn.Linear(ctx_dim, inner, bias=False)
+            self.s_v2 = tnn.Linear(ctx_dim, inner, bias=False)
+            self.s_o2 = tnn.Linear(inner, inner)
+            self.s_norm3 = tnn.LayerNorm(inner)
+            self.s_ffp = tnn.Linear(inner, inner * 8)
+            self.s_ffo = tnn.Linear(inner * 4, inner)
+            # temporal block (ff_in variant)
+            self.t_norm_in = tnn.LayerNorm(inner)
+            self.t_ffin_p = tnn.Linear(inner, inner * 8)
+            self.t_ffin_o = tnn.Linear(inner * 4, inner)
+            self.t_norm1 = tnn.LayerNorm(inner)
+            self.t_q1 = tnn.Linear(inner, inner, bias=False)
+            self.t_k1 = tnn.Linear(inner, inner, bias=False)
+            self.t_v1 = tnn.Linear(inner, inner, bias=False)
+            self.t_o1 = tnn.Linear(inner, inner)
+            self.t_norm2 = tnn.LayerNorm(inner)
+            self.t_q2 = tnn.Linear(inner, inner, bias=False)
+            self.t_k2 = tnn.Linear(ctx_dim, inner, bias=False)
+            self.t_v2 = tnn.Linear(ctx_dim, inner, bias=False)
+            self.t_o2 = tnn.Linear(inner, inner)
+            self.t_norm3 = tnn.LayerNorm(inner)
+            self.t_ffp = tnn.Linear(inner, inner * 8)
+            self.t_ffo = tnn.Linear(inner * 4, inner)
+            # time pos embed MLP
+            self.tpe0 = tnn.Linear(c, c * 4)
+            self.tpe2 = tnn.Linear(c * 4, c)
+            self.mix = tnn.Parameter(torch.tensor([0.4]))
+            self.proj_out = tnn.Linear(inner, c)
+
+        def forward(self, x, ctx):  # x: (B*T, C, H, W); ctx: (B*T, L, D)
+            x_in = x
+            h = self.norm(x)
+            h = h.permute(0, 2, 3, 1).reshape(B * T, S, c)
+            h = self.proj_in(h)
+            # frame-index embedding
+            frames = torch.arange(T).repeat(B)
+            emb = self.tpe2(F.silu(self.tpe0(timestep_embedding_torch(frames, c))))
+            # spatial block
+            h = h + mha(self.s_norm1(h), self.s_norm1(h), self.s_q1, self.s_k1, self.s_v1, self.s_o1)
+            h = h + mha(self.s_norm2(h), ctx, self.s_q2, self.s_k2, self.s_v2, self.s_o2)
+            h = h + geglu(self.s_norm3(h), self.s_ffp, self.s_ffo)
+            # temporal mix branch
+            x_mix = h + emb[:, None, :]
+            x_mix = x_mix.reshape(B, T, S, inner).permute(0, 2, 1, 3).reshape(B * S, T, inner)
+            time_ctx = ctx[::T]  # first frame's context rows
+            time_ctx = time_ctx.repeat_interleave(S, dim=0)
+            x_mix = x_mix + geglu(self.t_norm_in(x_mix), self.t_ffin_p, self.t_ffin_o)
+            x_mix = x_mix + mha(self.t_norm1(x_mix), self.t_norm1(x_mix),
+                                self.t_q1, self.t_k1, self.t_v1, self.t_o1)
+            x_mix = x_mix + mha(self.t_norm2(x_mix), time_ctx,
+                                self.t_q2, self.t_k2, self.t_v2, self.t_o2)
+            x_mix = x_mix + geglu(self.t_norm3(x_mix), self.t_ffp, self.t_ffo)
+            x_mix = x_mix.reshape(B, S, T, inner).permute(0, 2, 1, 3).reshape(B * T, S, inner)
+            alpha = torch.sigmoid(self.mix)
+            h = alpha * h + (1 - alpha) * x_mix
+            h = self.proj_out(h)
+            h = h.reshape(B * T, H, W, c).permute(0, 3, 1, 2)
+            return x_in + h
+
+    ts = TorchSVT().eval()
+    x = torch.randn(B * T, c, H, W)
+    ctx = torch.randn(B * T, 2, ctx_dim)
+    ref = ts(x, ctx).detach().numpy()
+
+    from streamingt2v_tpu.models.unet_blocks import SpatialVideoTransformer
+
+    def lin(m, bias=True):
+        d = {"kernel": jnp.asarray(t_linear(m.weight.detach().numpy()))}
+        if bias:
+            d["bias"] = _j(m.bias)
+        return d
+
+    def basic(prefix, norms, attns, ffs):
+        (n1, n2, n3) = norms
+        (q1, k1, v1, o1, q2, k2, v2, o2) = attns
+        (ffp, ffo) = ffs
+        return {
+            "norm1_scale": _j(n1.weight), "norm1_bias": _j(n1.bias),
+            "attn1": {"to_q": lin(q1, False), "to_k": lin(k1, False),
+                      "to_v": lin(v1, False), "to_out": lin(o1)},
+            "norm2_scale": _j(n2.weight), "norm2_bias": _j(n2.bias),
+            "attn2": {"to_q": lin(q2, False), "to_k": lin(k2, False),
+                      "to_v": lin(v2, False), "to_out": lin(o2)},
+            "norm3_scale": _j(n3.weight), "norm3_bias": _j(n3.bias),
+            "ff": {"proj": lin(ffp), "out": lin(ffo)},
+        }
+
+    tb = basic("time", (ts.t_norm1, ts.t_norm2, ts.t_norm3),
+               (ts.t_q1, ts.t_k1, ts.t_v1, ts.t_o1, ts.t_q2, ts.t_k2, ts.t_v2, ts.t_o2),
+               (ts.t_ffp, ts.t_ffo))
+    tb["norm_in_scale"] = _j(ts.t_norm_in.weight)
+    tb["norm_in_bias"] = _j(ts.t_norm_in.bias)
+    tb["ff_in"] = {"proj": lin(ts.t_ffin_p), "out": lin(ts.t_ffin_o)}
+
+    params = {"params": {
+        "norm_scale": _j(ts.norm.weight), "norm_bias": _j(ts.norm.bias),
+        "proj_in": lin(ts.proj_in),
+        "block_0": basic("s", (ts.s_norm1, ts.s_norm2, ts.s_norm3),
+                          (ts.s_q1, ts.s_k1, ts.s_v1, ts.s_o1,
+                           ts.s_q2, ts.s_k2, ts.s_v2, ts.s_o2),
+                          (ts.s_ffp, ts.s_ffo)),
+        "time_block_0": tb,
+        "time_pos_embed_0": lin(ts.tpe0),
+        "time_pos_embed_2": lin(ts.tpe2),
+        "time_mixer_mix_factor": _j(ts.mix),
+        "proj_out": lin(ts.proj_out),
+    }}
+    svt = SpatialVideoTransformer(heads=heads, dim_head=dh, context_dim=ctx_dim)
+    xj = _j(x.reshape(B, T, c, H, W).permute(0, 1, 3, 4, 2))
+    ctxj = _j(ctx.reshape(B, T, 2, ctx_dim))
+    ind = jnp.zeros((B, T), bool)
+    out = svt.apply(params, xj, ctxj, ind)
+    ref_j = ref.reshape(B, T, c, H, W).transpose(0, 1, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(out), ref_j, atol=5e-5, rtol=5e-5)
