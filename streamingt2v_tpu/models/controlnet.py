@@ -54,7 +54,10 @@ class ControlNetConditioningEmbedding(nn.Module):
                 h = layer_norm(h, s, b)
                 k += 1
             h = jax.nn.silu(h)
-            h = nn.Conv(c_out, (3, 3), strides=(stride, stride), name=f"block_{2*i+1}")(h)
+            # torch uses symmetric padding=1 on the strided convs; flax SAME
+            # would pad (0,1) and shift the grid
+            h = nn.Conv(c_out, (3, 3), strides=(stride, stride), padding=1,
+                        name=f"block_{2*i+1}")(h)
             if self.use_normalization:
                 s, b = _ln_params(self, f"norm_{k}", c_out)
                 h = layer_norm(h, s, b)

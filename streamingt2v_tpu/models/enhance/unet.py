@@ -246,8 +246,9 @@ class I2VGenXLUNet(nn.Module):
         il_first = image_latents[:, 0]  # (B, h, w, 4)
         h_ctx = nn.Conv(cfg.in_channels * 8, (3, 3), name="ilce_conv1")(il_first)
         h_ctx = adaptive_avg_pool_2d(jax.nn.silu(h_ctx), (32, 32))
-        h_ctx = nn.Conv(cfg.in_channels * 16, (3, 3), strides=(2, 2), name="ilce_conv2")(h_ctx)
-        h_ctx = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2),
+        h_ctx = nn.Conv(cfg.in_channels * 16, (3, 3), strides=(2, 2), padding=1,
+                        name="ilce_conv2")(h_ctx)
+        h_ctx = nn.Conv(cfg.cross_attention_dim, (3, 3), strides=(2, 2), padding=1,
                         name="ilce_conv3")(jax.nn.silu(h_ctx))
         ctx_parts.append(h_ctx.reshape(b, -1, cfg.cross_attention_dim))  # 64 tokens
         img_ctx = nn.Dense(emb_dim, name="context_embedding_1")(image_embeddings)
