@@ -1048,3 +1048,144 @@ def test_i2vgen_temporal_encoder_golden():
     }}
     out = TemporalEncoder(heads, dh, ffin).apply(params, _j(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (open_clip layout): patch conv (no bias), cls+pos,
+# ln_pre, pre-LN blocks with fused in_proj, ln_post, projection
+# ---------------------------------------------------------------------------
+
+def test_clip_vision_tower_golden():
+    width, heads, layers, patch, size, out_dim = 32, 4, 2, 4, 8, 16
+    grid = size // patch
+
+    class TorchViT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, width, patch, stride=patch, bias=False)
+            self.cls = tnn.Parameter(torch.randn(width) * 0.02)
+            self.pos = tnn.Parameter(torch.randn(grid * grid + 1, width) * 0.02)
+            self.ln_pre = tnn.LayerNorm(width)
+            self.blocks = tnn.ModuleList()
+            for _ in range(layers):
+                blk = tnn.Module()
+                blk.ln_1 = tnn.LayerNorm(width)
+                blk.in_proj = tnn.Linear(width, 3 * width)
+                blk.out_proj = tnn.Linear(width, width)
+                blk.ln_2 = tnn.LayerNorm(width)
+                blk.fc = tnn.Linear(width, 4 * width)
+                blk.proj = tnn.Linear(4 * width, width)
+                self.blocks.append(blk)
+            self.ln_post = tnn.LayerNorm(width)
+            self.proj = tnn.Parameter(torch.randn(width, out_dim) * 0.02)
+
+        def forward(self, x):
+            h = self.conv1(x)  # (B, W, g, g)
+            b = h.shape[0]
+            h = h.reshape(b, width, -1).permute(0, 2, 1)
+            h = torch.cat([self.cls.expand(b, 1, width), h], dim=1)
+            h = h + self.pos
+            h = self.ln_pre(h)
+            dh = width // heads
+            for blk in self.blocks:
+                hn = blk.ln_1(h)
+                qkv = blk.in_proj(hn)
+                q, k, v = qkv.chunk(3, dim=-1)
+                n = hn.shape[1]
+                qh = q.reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+                kh = k.reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+                vh = v.reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+                o = F.scaled_dot_product_attention(qh, kh, vh)
+                h = h + blk.out_proj(o.permute(0, 2, 1, 3).reshape(b, n, width))
+                h = h + blk.proj(F.gelu(blk.fc(blk.ln_2(h))))
+            h = self.ln_post(h)
+            return h[:, 0] @ self.proj, h[:, 1:]
+
+    tv = TorchViT().eval()
+    x = torch.randn(2, 3, size, size)
+    ref_pooled, ref_tokens = tv(x)
+    ref_pooled = ref_pooled.detach().numpy()
+    ref_tokens = ref_tokens.detach().numpy()
+
+    from streamingt2v_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+
+    cfg = CLIPVisionConfig(image_size=size, patch_size=patch, width=width,
+                           layers=layers, heads=heads, output_dim=out_dim)
+
+    def lin(m):
+        return {"kernel": jnp.asarray(t_linear(m.weight.detach().numpy())),
+                "bias": _j(m.bias)}
+
+    params = {"params": {
+        "conv1": {"kernel": jnp.asarray(t_conv2d(tv.conv1.weight.detach().numpy()))},
+        "class_embedding": _j(tv.cls),
+        "positional_embedding": _j(tv.pos),
+        "ln_pre_scale": _j(tv.ln_pre.weight), "ln_pre_bias": _j(tv.ln_pre.bias),
+        "ln_post_scale": _j(tv.ln_post.weight), "ln_post_bias": _j(tv.ln_post.bias),
+        "proj": _j(tv.proj),
+    }}
+    for i, blk in enumerate(tv.blocks):
+        params["params"][f"resblock_{i}"] = {
+            "ln_1_scale": _j(blk.ln_1.weight), "ln_1_bias": _j(blk.ln_1.bias),
+            "attn": {"in_proj": lin(blk.in_proj), "out_proj": lin(blk.out_proj)},
+            "ln_2_scale": _j(blk.ln_2.weight), "ln_2_bias": _j(blk.ln_2.bias),
+            "mlp_fc": lin(blk.fc), "mlp_proj": lin(blk.proj),
+        }
+    pooled, tokens = CLIPVisionTower(cfg).apply(params, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled, atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(tokens), ref_tokens, atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# VFI InterFrameAttention: q from x1, kv from x2, motion path
+# motion_proj(attn @ cor_embed - cor_embed) (feature_extractor.py:111-176)
+# ---------------------------------------------------------------------------
+
+def test_inter_frame_attention_golden():
+    dim, motion_dim, heads, N = 16, 8, 2, 12
+    dh = dim // heads
+
+    class TorchIFA(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.q = tnn.Linear(dim, dim)
+            self.kv = tnn.Linear(dim, 2 * dim)
+            self.cor_embed = tnn.Linear(2, motion_dim)
+            self.proj = tnn.Linear(dim, dim)
+            self.motion_proj = tnn.Linear(motion_dim, motion_dim)
+
+        def forward(self, x1, x2, cor):
+            B, n, C = x1.shape
+            q = self.q(x1).reshape(B, n, heads, C // heads).permute(0, 2, 1, 3)
+            kv = self.kv(x2).reshape(B, -1, 2, heads, C // heads).permute(2, 0, 3, 1, 4)
+            k, v = kv[0], kv[1]
+            ce_ = self.cor_embed(cor)
+            ce = ce_.reshape(B, n, heads, motion_dim // heads).permute(0, 2, 1, 3)
+            attn = (q @ k.transpose(-2, -1)) * (C // heads) ** -0.5
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(B, n, C)
+            c_rev = (attn @ ce).transpose(1, 2).reshape(B, n, -1)
+            motion = self.motion_proj(c_rev - ce_)
+            return self.proj(x), motion
+
+    ti = TorchIFA().eval()
+    x1 = torch.randn(3, N, dim)
+    x2 = torch.randn(3, N, dim)
+    cor = torch.rand(3, N, 2) * 2 - 1
+    ref_x, ref_m = ti(x1, x2, cor)
+
+    from streamingt2v_tpu.models.vfi import InterFrameAttention
+
+    def lin(m):
+        return {"kernel": jnp.asarray(t_linear(m.weight.detach().numpy())),
+                "bias": _j(m.bias)}
+
+    params = {"params": {
+        "q": lin(ti.q), "kv": lin(ti.kv), "cor_embed": lin(ti.cor_embed),
+        "proj": lin(ti.proj), "motion_proj": lin(ti.motion_proj),
+    }}
+    out_x, out_m = InterFrameAttention(dim, motion_dim, heads).apply(
+        params, _j(x1), _j(x2), _j(cor)
+    )
+    np.testing.assert_allclose(np.asarray(out_x), ref_x.detach().numpy(), atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_m), ref_m.detach().numpy(), atol=3e-5, rtol=3e-5)
