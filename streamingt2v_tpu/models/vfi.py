@@ -44,8 +44,11 @@ def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
 
 
 def resize_bilinear(x: jax.Array, scale: float) -> jax.Array:
+    """torch F.interpolate(bilinear, align_corners=False) semantics: NO
+    antialiasing on downscale (jax.image.resize defaults to antialias)."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, int(h * scale), int(w * scale), c), method="bilinear")
+    return jax.image.resize(x, (n, int(h * scale), int(w * scale), c),
+                            method="bilinear", antialias=False)
 
 
 class ConvPReLU(nn.Module):

@@ -1189,3 +1189,62 @@ def test_inter_frame_attention_golden():
     )
     np.testing.assert_allclose(np.asarray(out_x), ref_x.detach().numpy(), atol=3e-5, rtol=3e-5)
     np.testing.assert_allclose(np.asarray(out_m), ref_m.detach().numpy(), atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Resampling semantics: sgm VAE Downsample (asymmetric (0,1) pad + VALID),
+# UNet Downsample (symmetric pad 1), nearest & bilinear resizes vs torch
+# ---------------------------------------------------------------------------
+
+def test_vae_downsample_golden():
+    c = 8
+    conv = tnn.Conv2d(c, c, 3, stride=2, padding=0)
+    x = torch.randn(1, c, 7, 9)
+    ref = conv(F.pad(x, (0, 1, 0, 1))).detach().numpy()
+
+    from streamingt2v_tpu.models.vae import Downsample
+
+    params = {"params": {"conv": {
+        "kernel": jnp.asarray(t_conv2d(conv.weight.detach().numpy())),
+        "bias": _j(conv.bias),
+    }}}
+    out = Downsample().apply(params, _nhwc(x))
+    np.testing.assert_allclose(_to_nchw(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_unet_downsample_golden():
+    c = 8
+    conv = tnn.Conv2d(c, c, 3, stride=2, padding=1)
+    x = torch.randn(1, c, 8, 10)
+    ref = conv(x).detach().numpy()
+
+    from streamingt2v_tpu.models.unet_blocks import Downsample
+
+    params = {"params": {"conv": {
+        "kernel": jnp.asarray(t_conv2d(conv.weight.detach().numpy())),
+        "bias": _j(conv.bias),
+    }}}
+    out = Downsample(c).apply(params, _nhwc(x))
+    np.testing.assert_allclose(_to_nchw(out), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_nearest_upsample_matches_torch():
+    x = torch.randn(1, 4, 3, 5)
+    ref = F.interpolate(x, scale_factor=2, mode="nearest").numpy()
+    xj = _nhwc(x)
+    out = jnp.repeat(jnp.repeat(xj, 2, axis=1), 2, axis=2)
+    np.testing.assert_allclose(_to_nchw(out), ref, atol=1e-6)
+
+
+def test_bilinear_resize_matches_torch():
+    """jax.image.resize('bilinear') == torch F.interpolate(bilinear,
+    align_corners=False) — both use half-pixel centers.  This semantics
+    backs FlowHead/hr_forward resizes."""
+    x = torch.randn(1, 3, 8, 12)
+    for scale in (2.0, 0.5):
+        ref = F.interpolate(x, scale_factor=scale, mode="bilinear",
+                            align_corners=False).numpy()
+        from streamingt2v_tpu.models.vfi import resize_bilinear
+
+        out = resize_bilinear(_nhwc(x), scale)
+        np.testing.assert_allclose(_to_nchw(out), ref, atol=2e-5, rtol=2e-5)
