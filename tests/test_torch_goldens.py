@@ -1248,3 +1248,158 @@ def test_bilinear_resize_matches_torch():
 
         out = resize_bilinear(_nhwc(x), scale)
         np.testing.assert_allclose(_to_nchw(out), ref, atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# VFI FlowHead: double PixelShuffle upsample of motion features, conv+PReLU
+# stack, scale-dependent resizes (flow_estimation.py:17-44)
+# ---------------------------------------------------------------------------
+
+def test_vfi_flow_head_golden():
+    mf_ch, hidden, scale = 32, 8, 8  # in_else=6 first-stage variant
+
+    class TorchHead(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            cin = mf_ch // 16 + 6
+            self.c0 = tnn.Conv2d(cin, hidden, 3, padding=1)
+            self.p0 = tnn.PReLU(hidden)
+            self.c1 = tnn.Conv2d(hidden, hidden, 3, padding=1)
+            self.p1 = tnn.PReLU(hidden)
+            self.c2 = tnn.Conv2d(hidden, 5, 3, padding=1)
+            self.p2 = tnn.PReLU(5)
+
+        def forward(self, mf, x):
+            mf = F.pixel_shuffle(F.pixel_shuffle(mf, 2), 2)
+            x = F.interpolate(x, scale_factor=4.0 / scale, mode="bilinear",
+                              align_corners=False)
+            h = torch.cat([mf, x], 1)
+            h = self.p0(self.c0(h))
+            h = self.p1(self.c1(h))
+            h = self.p2(self.c2(h))
+            h = F.interpolate(h, scale_factor=scale // 4, mode="bilinear",
+                              align_corners=False)
+            return h[:, :4] * (scale // 4), h[:, 4:5]
+
+    th = TorchHead().eval()
+    mf = torch.randn(1, mf_ch, 4, 4)     # /16-scale motion features
+    x = torch.randn(1, 6, 32, 32)        # full-res image pair
+    ref_flow, ref_mask = th(mf, x)
+
+    from streamingt2v_tpu.models.vfi import FlowHead
+
+    def cp(c, p):
+        return {"conv": {"kernel": jnp.asarray(t_conv2d(c.weight.detach().numpy())),
+                         "bias": _j(c.bias)},
+                "prelu": _j(p.weight)}
+
+    params = {"params": {
+        "conv_0": cp(th.c0, th.p0), "conv_1": cp(th.c1, th.p1),
+        "conv_2": cp(th.c2, th.p2),
+    }}
+    flow, mask = FlowHead(scale=scale, hidden=hidden).apply(
+        params, _nhwc(mf), _nhwc(x), None
+    )
+    np.testing.assert_allclose(_to_nchw(flow), ref_flow.detach().numpy(),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(_to_nchw(mask), ref_mask.detach().numpy(),
+                               atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# VFI MotionFormerBlock (no shift, window-divisible): window partition,
+# frame-swapped attention, dwconv MLP (feature_extractor.py:178-283)
+# ---------------------------------------------------------------------------
+
+def test_motionformer_block_golden():
+    dim, motion_dim, heads, ws, B, H, W = 16, 8, 2, 4, 1, 8, 8
+
+    class TorchMFB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+            self.q = tnn.Linear(dim, dim)
+            self.kv = tnn.Linear(dim, 2 * dim)
+            self.cor_embed = tnn.Linear(2, motion_dim)
+            self.proj = tnn.Linear(dim, dim)
+            self.motion_proj = tnn.Linear(motion_dim, motion_dim)
+            self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+            self.fc1 = tnn.Linear(dim, 4 * dim)
+            self.dw = tnn.Conv2d(4 * dim, 4 * dim, 3, padding=1, groups=4 * dim)
+            self.fc2 = tnn.Linear(4 * dim, dim)
+
+        def window_partition(self, x):
+            b, h, w, C = x.shape
+            x = x.view(b, h // ws, ws, w // ws, ws, C)
+            return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+        def window_reverse(self, wins, h, w):
+            C = wins.shape[-1]
+            b = wins.shape[0] // (h * w // ws // ws)
+            x = wins.view(b, h // ws, w // ws, ws, ws, C)
+            return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, C)
+
+        def attn(self, x1, x2, cor):
+            b, n, C = x1.shape
+            dh = C // heads
+            q = self.q(x1).reshape(b, n, heads, dh).permute(0, 2, 1, 3)
+            kv = self.kv(x2).reshape(b, -1, 2, heads, dh).permute(2, 0, 3, 1, 4)
+            k, v = kv[0], kv[1]
+            ce_ = self.cor_embed(cor)
+            ce = ce_.reshape(b, n, heads, motion_dim // heads).permute(0, 2, 1, 3)
+            a = (q @ k.transpose(-2, -1)) * dh**-0.5
+            a = a.softmax(-1)
+            x = (a @ v).transpose(1, 2).reshape(b, n, C)
+            crev = (a @ ce).transpose(1, 2).reshape(b, n, -1)
+            return self.proj(x), self.motion_proj(crev - ce_)
+
+        def forward(self, x, cor):
+            # x: (2B, H*W, C); cor: (2B, H*W, 2)
+            xi = x.view(2 * B, H, W, dim)
+            ci = cor.view(2 * B, H, W, 2)
+            xw = self.window_partition(xi)
+            cw = self.window_partition(ci)
+            nwb = xw.shape[0]
+            xn = self.norm1(xw)
+            xr = torch.cat([xn[nwb // 2:], xn[:nwb // 2]], 0)
+            xa, xm = self.attn(xn, xr, cw)
+            xn = xn + xa
+            back = self.window_reverse(xn, H, W).reshape(2 * B, H * W, dim)
+            motion = self.window_reverse(xm, H, W).reshape(2 * B, H * W, -1)
+            h = self.norm2(back)
+            h = self.fc1(h)
+            himg = h.view(2 * B, H, W, -1).permute(0, 3, 1, 2)
+            himg = self.dw(himg).permute(0, 2, 3, 1).reshape(2 * B, H * W, -1)
+            h = self.fc2(F.gelu(himg))
+            return back + h, motion
+
+    tm = TorchMFB().eval()
+    x = torch.randn(2 * B, H * W, dim)
+    cx = torch.linspace(-1, 1, W)
+    cy = torch.linspace(-1, 1, H)
+    cor1 = torch.stack(torch.meshgrid(cx, cy, indexing="xy"), -1).reshape(1, H * W, 2)
+    cor = cor1.expand(2 * B, H * W, 2)
+    ref_x, ref_m = tm(x, cor)
+
+    from streamingt2v_tpu.models.vfi import MotionFormerBlock
+
+    def lin(m):
+        return {"kernel": jnp.asarray(t_linear(m.weight.detach().numpy())),
+                "bias": _j(m.bias)}
+
+    params = {"params": {
+        "norm1_scale": _j(tm.norm1.weight), "norm1_bias": _j(tm.norm1.bias),
+        "attn": {"q": lin(tm.q), "kv": lin(tm.kv), "cor_embed": lin(tm.cor_embed),
+                 "proj": lin(tm.proj), "motion_proj": lin(tm.motion_proj)},
+        "norm2_scale": _j(tm.norm2.weight), "norm2_bias": _j(tm.norm2.bias),
+        "mlp_fc1": lin(tm.fc1),
+        "mlp_dwconv": {"kernel": jnp.asarray(t_conv2d(tm.dw.weight.detach().numpy())),
+                       "bias": _j(tm.dw.bias)},
+        "mlp_fc2": lin(tm.fc2),
+    }}
+    blk = MotionFormerBlock(dim, motion_dim, heads, ws, shift=False)
+    out_x, out_m = blk.apply(params, _j(x), _j(cor), H, W, B)
+    np.testing.assert_allclose(np.asarray(out_x), ref_x.detach().numpy(),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(out_m), ref_m.detach().numpy(),
+                               atol=3e-5, rtol=3e-5)
