@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from streamingt2v_tpu.ops import attention, group_norm, layer_norm, timestep_embedding
+from streamingt2v_tpu.parallel.sharding import shard
 
 
 def _gn_params(module: nn.Module, name: str, c: int):
@@ -228,6 +229,7 @@ class SpatialVideoTransformer(nn.Module):
         mix = self.param("time_mixer_mix_factor", nn.initializers.constant(0.0), (1,))
 
         h = h.reshape(b * t, s, inner)
+        h = shard(h, "batch", "tokens", None)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.heads, self.dim_head, context_dim=self.context_dim,
@@ -252,6 +254,7 @@ class SpatialVideoTransformer(nn.Module):
             h = blend_with_images(mix, h5, h_time, image_only_indicator).reshape(
                 b * t, s, inner
             )
+            h = shard(h, "batch", "tokens", None)
 
         h = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj_out")(h)
         return x_in + h.reshape(b, t, hh, ww, c)
@@ -321,7 +324,8 @@ class UNetVideoResBlock(nn.Module):
             self.out_channels, self.video_kernel_size, name="time_stack"
         )(h, emb)
         mix = self.param("time_mixer_mix_factor", nn.initializers.constant(0.0), (1,))
-        return blend_with_images(mix, h, h_time, image_only_indicator)
+        out = blend_with_images(mix, h, h_time, image_only_indicator)
+        return shard(out, "batch", None, "height", None, None)
 
 
 class Downsample(nn.Module):

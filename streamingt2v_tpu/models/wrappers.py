@@ -21,17 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
-def openai_wrapper(unet_module, unet_params):
-    """Plain SVD wrapper (first-chunk / non-streaming model)."""
+def openai_wrapper(unet_module, unet_params, mesh=None):
+    """Plain SVD wrapper (first-chunk / non-streaming model).
+
+    `mesh` (optional jax.sharding.Mesh) activates the logical sharding
+    constraints placed at the UNet's layer boundaries."""
+    from streamingt2v_tpu.parallel.sharding import active_mesh
 
     def network_fn(x: jax.Array, t_cont: jax.Array, cond: Dict[str, Any]) -> jax.Array:
         concat = cond.get("concat")
         if concat is not None:
             x = jnp.concatenate([x, concat.astype(x.dtype)], axis=-1)
-        return unet_module.apply(
-            unet_params, x, t_cont,
-            cond.get("crossattn"), cond.get("vector"),
-        )
+        with active_mesh(mesh):
+            return unet_module.apply(
+                unet_params, x, t_cont,
+                cond.get("crossattn"), cond.get("vector"),
+            )
 
     return network_fn
 
@@ -42,8 +47,10 @@ def streaming_wrapper(
     controlnet_module,
     controlnet_params,
     num_frame_conditioning: int,
+    mesh=None,
 ):
     """StreamingSVD wrapper: ControlNet on conditional frames + CAM fusion."""
+    from streamingt2v_tpu.parallel.sharding import active_mesh
 
     f_cond = num_frame_conditioning
 
@@ -57,17 +64,18 @@ def streaming_wrapper(
 
         # ControlNet sees only the conditional frames; context stripped to
         # the first token (APM tokens removed, wrappers.py:39-40).
-        hs_control, h_control_mid = controlnet_module.apply(
-            controlnet_params,
-            x[:, :f_cond],
-            t_cont,
-            context[:, :f_cond, :1] if context is not None else None,
-            y[:, :f_cond] if y is not None else None,
-            ctrl_frames,
-        )
-        return unet_module.apply(
-            unet_params, x, t_cont, context, y,
-            hs_control=hs_control, h_control_mid=h_control_mid,
-        )
+        with active_mesh(mesh):
+            hs_control, h_control_mid = controlnet_module.apply(
+                controlnet_params,
+                x[:, :f_cond],
+                t_cont,
+                context[:, :f_cond, :1] if context is not None else None,
+                y[:, :f_cond] if y is not None else None,
+                ctrl_frames,
+            )
+            return unet_module.apply(
+                unet_params, x, t_cont, context, y,
+                hs_control=hs_control, h_control_mid=h_control_mid,
+            )
 
     return network_fn

@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from streamingt2v_tpu.ops.flash_attention import flash_attention
 
@@ -47,6 +48,34 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _flash_sharded(qf: jax.Array, kf: jax.Array, vf: jax.Array, mesh) -> jax.Array:
+    """Run the Pallas flash kernel under `shard_map` over the folded
+    (batch*heads) axis so GSPMD does not replicate the custom kernel:
+    each device gets an independent slice of attention rows (attention is
+    embarrassingly parallel over batch*heads).  The batch is zero-padded
+    up to the device count — padded rows produce garbage that is sliced
+    away."""
+    from jax.experimental.shard_map import shard_map
+
+    n = mesh.size
+    b = qf.shape[0]
+    pad = (-b) % n
+    if pad:
+        widths = ((0, pad), (0, 0), (0, 0))
+        qf = jnp.pad(qf, widths)
+        kf = jnp.pad(kf, widths)
+        vf = jnp.pad(vf, widths)
+    spec = P(mesh.axis_names)  # all mesh axes fold onto the batch dim
+    out = shard_map(
+        lambda q, k, v: flash_attention(q, k, v),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )(qf, kf, vf)
+    return out[:b] if pad else out
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -65,6 +94,8 @@ def attention(
     d = hd // num_heads
     assert num_heads * d == hd, (num_heads, hd)
 
+    from streamingt2v_tpu.parallel.sharding import get_active_mesh, shard
+
     qh = q.reshape(b, lq, num_heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
@@ -76,12 +107,20 @@ def attention(
     else:
         use_flash = backend == "flash"
 
+    mesh = get_active_mesh()
     if use_flash:
-        o = flash_attention(
-            qh.reshape(b * num_heads, lq, d),
-            kh.reshape(b * num_heads, lk, d),
-            vh.reshape(b * num_heads, lk, d),
-        ).reshape(b, num_heads, lq, d)
+        qf = qh.reshape(b * num_heads, lq, d)
+        kf = kh.reshape(b * num_heads, lk, d)
+        vf = vh.reshape(b * num_heads, lk, d)
+        if mesh is not None and mesh.size > 1:
+            o = _flash_sharded(qf, kf, vf, mesh)
+        else:
+            o = flash_attention(qf, kf, vf)
+        o = o.reshape(b, num_heads, lq, d)
     else:
+        qh = shard(qh, "batch", "heads", "tokens", None)
+        kh = shard(kh, "batch", "heads", None, None)
+        vh = shard(vh, "batch", "heads", None, None)
         o = dot_product_attention(qh, kh, vh)
+        o = shard(o, "batch", "heads", "tokens", None)
     return o.transpose(0, 2, 1, 3).reshape(b, lq, hd)

@@ -44,8 +44,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
     k = k_ref[0]
     v = v_ref[0]
 
+    # precision pinned to DEFAULT: a global jax_default_matmul_precision of
+    # "highest" would request fp32 contract precision on bf16 operands,
+    # which Mosaic rejects ("Bad lhs type"); accumulation is f32 regardless.
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) * scale  # (bq, bk) f32
     if kv_len % block_k != 0:
         # only the final k block contains padding; branch so the common
@@ -64,7 +69,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
     alpha = jnp.exp(m_prev - m_new)
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha[:, 0:1] + jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     m_scr[:] = m_new
 

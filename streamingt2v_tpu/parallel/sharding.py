@@ -19,6 +19,7 @@ Logical axes used across the codebase:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple
 
 import jax
@@ -57,24 +58,79 @@ def with_sharding(x, mesh: Optional[Mesh], logical_axes: Tuple[Optional[str], ..
     return jax.lax.with_sharding_constraint(x, logical_sharding(mesh, logical_axes))
 
 
-def _param_logical_axes(path: str, ndim: int) -> Tuple[Optional[str], ...]:
-    """Infer logical axes for a parameter from its pytree path + rank.
+# ---------------------------------------------------------------------------
+# Active-mesh context: lets model code place with_sharding_constraint at
+# layer boundaries without threading a Mesh through every module.  The
+# context is consulted at *trace* time, so it must wrap the model `apply`
+# call (wrappers/pipeline/train step do this); when no mesh is active (or
+# the mesh is a single device), `shard()` is a no-op and single-chip code
+# paths are untouched.
+# ---------------------------------------------------------------------------
 
-    Conventions (flax linen): Dense kernels are (in, out); conv kernels are
-    (*window, in, out).  We shard the output features of FF/projection
-    weights onto the model axis; everything else is replicated.  Biases and
-    norm scales are replicated.
-    """
-    if ndim == 0 or ndim == 1:
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def active_mesh(mesh: Optional[Mesh]):
+    """Make `mesh` the target of `shard()` constraints while tracing."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
+def shard(x, *logical_axes: Optional[str]):
+    """Constrain `x` to the active mesh along logical axes (no-op without
+    an active multi-device mesh).  Dims whose logical axis size does not
+    divide the mesh axis are left unconstrained rather than erroring."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or mesh.size == 1:
+        return x
+    axes = []
+    for dim, name in enumerate(logical_axes):
+        mesh_axis = LOGICAL_RULES.get(name) if name is not None else None
+        if mesh_axis is not None and x.shape[dim] % mesh.shape[mesh_axis] != 0:
+            mesh_axis = None
+        axes.append(mesh_axis)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*axes)))
+
+
+# Megatron-style tensor parallelism over the transformer projections:
+#   column-parallel (output features on `model`): q/k/v projections, the
+#     GEGLU up-projection, the transformer's proj_in;
+#   row-parallel (input features on `model`, XLA inserts the psum): the
+#     attention output projection and the FF down-projection.
+# Everything else (convs, norms, embeddings, biases) is replicated — UNet
+# conv weights are small relative to activations.
+_COL_PARALLEL_SEGMENTS = frozenset({"to_q", "to_k", "to_v", "qkv", "proj_in"})
+_FF_SEGMENTS = frozenset({"ff", "ff_in"})
+
+
+def _param_logical_axes(segments: Tuple[str, ...], ndim: int) -> Tuple[Optional[str], ...]:
+    """Infer logical axes for a parameter from its exact pytree path
+    segments + rank (flax: Dense kernels are (in, out))."""
+    if ndim != 2:
         return (None,) * ndim
-    lowered = path.lower()
-    tp_markers = ("ff", "mlp", "to_q", "to_k", "to_v", "qkv", "proj_in", "time_embed")
-    if ndim == 2 and any(m in lowered for m in tp_markers):
+    segs = tuple(s.lower() for s in segments)
+    parent = segs[-2] if len(segs) >= 2 else ""
+    grandparent = segs[-3] if len(segs) >= 3 else ""
+    leaf_module = parent  # .../<module>/kernel
+    if leaf_module in _COL_PARALLEL_SEGMENTS:
         return ("channels", "channels_out")
-    if ndim == 2:
-        return ("channels", None)
-    # conv kernels: replicate (UNet convs are small relative to activations)
-    return (None,) * ndim
+    if leaf_module == "proj" and grandparent in _FF_SEGMENTS:
+        return ("channels", "channels_out")
+    if leaf_module == "to_out":
+        return ("channels_out", "channels")
+    if leaf_module == "out" and grandparent in _FF_SEGMENTS:
+        return ("channels_out", "channels")
+    return ("channels", None)
 
 
 def shard_params(params, mesh: Optional[Mesh]):
@@ -83,9 +139,16 @@ def shard_params(params, mesh: Optional[Mesh]):
         return params
 
     def place(path, x):
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
-        axes = _param_logical_axes(name, x.ndim)
-        return jax.device_put(x, logical_sharding(mesh, axes))
+        segments = tuple(str(getattr(k, "key", k)) for k in path)
+        axes = _param_logical_axes(segments, x.ndim)
+        # leave dims that don't divide the mesh axis unsharded
+        fixed = []
+        for dim, name in enumerate(axes):
+            mesh_axis = LOGICAL_RULES.get(name) if name is not None else None
+            if mesh_axis is not None and x.shape[dim] % mesh.shape[mesh_axis] != 0:
+                name = None
+            fixed.append(name)
+        return jax.device_put(x, logical_sharding(mesh, tuple(fixed)))
 
     return jax.tree_util.tree_map_with_path(place, params)
 

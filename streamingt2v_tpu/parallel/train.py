@@ -18,7 +18,7 @@ import optax
 from jax.sharding import Mesh
 
 from streamingt2v_tpu.diffusion.loss import DiffusionLossConfig, diffusion_loss
-from streamingt2v_tpu.parallel.sharding import shard_params, with_sharding
+from streamingt2v_tpu.parallel.sharding import active_mesh, shard_params, with_sharding
 
 
 def make_train_step(
@@ -35,9 +35,10 @@ def make_train_step(
     """
 
     def loss_fn(params, batch, key):
-        latents = with_sharding(batch["latents"], mesh, ("batch",))
-        net = network_builder(params)
-        return diffusion_loss(loss_cfg, net, latents, batch["cond"], key)
+        with active_mesh(mesh):
+            latents = with_sharding(batch["latents"], mesh, ("batch",))
+            net = network_builder(params)
+            return diffusion_loss(loss_cfg, net, latents, batch["cond"], key)
 
     @jax.jit
     def step(params, opt_state, batch, key):

@@ -51,10 +51,58 @@ def test_sharded_computation_matches_single_device():
 
 def test_shard_params_places_on_mesh():
     mesh = create_mesh(MeshConfig(data=4, seq=1, model=2))
-    params = {"block": {"ff_in": {"kernel": jnp.ones((64, 128)), "bias": jnp.zeros((128,))}}}
+    params = {
+        "block": {
+            "ff_in": {"proj": {"kernel": jnp.ones((64, 128)), "bias": jnp.zeros((128,))},
+                      "out": {"kernel": jnp.ones((128, 64))}},
+            "attn1": {"to_q": {"kernel": jnp.ones((64, 64))},
+                      "to_out": {"kernel": jnp.ones((64, 64)), "bias": jnp.zeros((64,))}},
+            "in_conv": {"kernel": jnp.ones((3, 3, 8, 32))},
+        }
+    }
     placed = shard_params(params, mesh)
-    kernel_sharding = placed["block"]["ff_in"]["kernel"].sharding
-    assert kernel_sharding.spec == P(None, "model")
+    blk = placed["block"]
+    # column-parallel: output features on `model`
+    assert blk["ff_in"]["proj"]["kernel"].sharding.spec == P(None, "model")
+    assert blk["attn1"]["to_q"]["kernel"].sharding.spec == P(None, "model")
+    # row-parallel: input features on `model`
+    assert blk["ff_in"]["out"]["kernel"].sharding.spec == P("model", None)
+    assert blk["attn1"]["to_out"]["kernel"].sharding.spec == P("model", None)
+    # biases and convs replicated
+    assert blk["ff_in"]["proj"]["bias"].sharding.spec in (P(), P(None))
+    assert blk["in_conv"]["kernel"].sharding.spec in (P(), P(None, None, None, None))
+
+
+def test_seq_sharded_transformer_matches_single_device():
+    """SP sweep: SpatialVideoTransformer under a data=2/seq=2/model=2 mesh
+    with the in-model `shard()` constraints active, at a large-token
+    geometry (36x64 = 2304 spatial tokens, the production level-1 shape),
+    must match the unsharded forward."""
+    import numpy as np
+    from streamingt2v_tpu.models.unet_blocks import SpatialVideoTransformer
+    from streamingt2v_tpu.parallel.sharding import active_mesh
+
+    B, T, H, W, C = 2, 2, 36, 64, 64
+    m = SpatialVideoTransformer(heads=2, dim_head=32, depth=1, context_dim=32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, H, W, C), jnp.float32)
+    ctx = jnp.asarray(rng.randn(B, T, 1, 32), jnp.float32)
+    ioi = jnp.zeros((B, T), bool)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x, ctx, ioi)
+
+    ref = jax.jit(m.apply)(params, x, ctx, ioi)
+
+    mesh = create_mesh(MeshConfig(data=2, seq=2, model=2))
+
+    def fwd(params, x, ctx):
+        with active_mesh(mesh):
+            return m.apply(params, x, ctx, ioi)
+
+    with mesh:
+        params_s = shard_params(params, mesh)
+        x_s = jax.device_put(x, logical_sharding(mesh, ("batch",)))
+        out = jax.jit(fwd)(params_s, x_s, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
 def test_sharded_inference_matches_single_device():
