@@ -1,27 +1,31 @@
-"""Benchmark: single-chunk StreamingSVD denoise step on one TPU chip.
+"""Benchmarks for the BASELINE.md configs on one TPU chip.
 
-Measures the stage-1 hot loop (BASELINE.md config #2): one guided EDM
-denoise step = CFG-doubled (2x25)-frame VideoUNet forward + ControlNet on
-the 7 conditional frames + CAM fusion, at the production geometry
-(72x128 latents = 576x1024 pixels, 320-ch UNet, bf16).
+Default (driver mode, no args): config #2 — single-chunk StreamingSVD
+guided denoise step at the production geometry.  Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Prints ONE JSON line:
-  {"metric": "stage1_denoise_frames_per_sec_per_chip", "value": ...,
-   "unit": "frames/s", "vs_baseline": ...}
+Other configs via --mode:
+  vae      (#1) temporal-VAE round-trip, 16-frame 576x1024 chunk
+  denoise  (#2) single-chunk guided denoise step (default)
+  stage1   (#3) 200-frame-target autoregressive stage 1 (first chunk +
+                streaming chunks, conditioner+sampler+decode included)
+  enhance  (#4) I2VGen-XL enhancement, randomized blending chunk 38/overlap 12
+  full     (#5) stage1 -> enhance -> VFI 2x -> uint8 frames
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
-the baseline constant below is an estimated A100 figure for the same step
-(25-frame SVD-XT+ControlNet forward x 30 EDM steps ~= 60 s/chunk on A100
-fp16 => ~0.42 frames/s), derived from typical public SVD-XT timings.
+baselines are estimated A100 fp16 figures for the same computation,
+derived from typical public SVD-XT / I2VGen-XL timings (see BASELINE.md).
 
 Timing methodology: on this environment's tunneled TPU platform,
 jax.block_until_ready does NOT synchronize; only host reads do, and each
-carries a ~30 ms RPC round-trip.  We therefore chain K steps inside one
-jit, read one scalar, subtract the measured round-trip, and divide by K.
+carries a ~30 ms RPC round-trip.  Hot loops chain K steps inside one jit,
+read one scalar, subtract the measured round-trip, and divide by K; whole-
+pipeline modes time end-to-end wall clock minus compile.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -30,13 +34,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Estimated A100 reference throughput for the same computation (frames/s).
-BASELINE_FRAMES_PER_SEC = 0.42
 STEPS_PER_CHUNK = 30  # config.yaml:150
+
+# Estimated A100 fp16 reference throughputs (frames/s) per config.
+BASELINES = {
+    # 25-frame SVD-XT+ControlNet forward x 30 EDM steps ~= 60 s/chunk.
+    "denoise": 0.42,
+    # SD-VAE encode+temporal decode, ~40ms+90ms per 576x1024 frame.
+    "vae": 7.7,
+    # stage-1 = first chunk (25 steps) + ceil((100-25)/18)=5 AR chunks:
+    # ~6 chunks x ~60s -> 100 frames / 360s.
+    "stage1": 0.28,
+    # I2VGen-XL 720p: 30 DDIM steps x CFG-doubled 38-frame UNet ~= 110s
+    # per chunk on A100 -> 0.35 frames/s.
+    "enhance": 0.35,
+    # full pipeline: ~8 min for 200 frames at 720p24 on A100 (~0.4 f/s).
+    "full": 0.4,
+}
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(metric: str, value: float, unit: str, baseline: float) -> None:
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
+    }))
 
 
 def measure_rtt() -> float:
@@ -52,7 +79,17 @@ def measure_rtt() -> float:
     return sorted(ts)[len(ts) // 2]
 
 
-def main() -> None:
+def to_bf16(p):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
+    )
+
+
+# ---------------------------------------------------------------------------
+# config #2 — single-chunk denoise step (the driver default)
+# ---------------------------------------------------------------------------
+
+def bench_denoise() -> None:
     from streamingt2v_tpu.config import ControlNetConfig, VideoUNetConfig
     from streamingt2v_tpu.diffusion import denoise
     from streamingt2v_tpu.models.controlnet import ControlNet
@@ -78,9 +115,6 @@ def main() -> None:
     uparams = jax.jit(unet.init)(jax.random.PRNGKey(0), xc[:, :2], t_cont, ctx[:1, :2], y[:1, :2])
     cparams = jax.jit(cn.init)(
         jax.random.PRNGKey(1), xc[:, :2], t_cont, ctx[:1, :2, :1], y[:1, :2], pix[:1, :2]
-    )
-    to_bf16 = lambda p: jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
     )
     uparams, cparams = to_bf16(uparams), to_bf16(cparams)
     log(f"init {time.time() - t0:.0f}s")
@@ -115,15 +149,218 @@ def main() -> None:
         ts.append(time.time() - t0)
     per_step = (sorted(ts)[len(ts) // 2] - rtt) / K
     chunk_time = per_step * STEPS_PER_CHUNK
-    frames_per_sec = T / chunk_time
     log(f"per-step {per_step * 1000:.0f}ms, chunk({STEPS_PER_CHUNK} steps) {chunk_time:.1f}s")
+    emit("stage1_denoise_frames_per_sec_per_chip", T / chunk_time, "frames/s",
+         BASELINES["denoise"])
 
-    print(json.dumps({
-        "metric": "stage1_denoise_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 2),
-    }))
+
+# ---------------------------------------------------------------------------
+# config #1 — temporal-VAE round-trip
+# ---------------------------------------------------------------------------
+
+def bench_vae() -> None:
+    from streamingt2v_tpu.config import VAEConfig
+    from streamingt2v_tpu.models.vae import AutoencoderKL
+
+    log(f"devices: {jax.devices()}")
+    cfg = VAEConfig()  # production: fp32 VAE compute (disable_first_stage_autocast)
+    vae = AutoencoderKL(cfg)
+    T, H, W = 16, 576, 1024
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(1, 2, 64, 64, 3) * 2 - 1, jnp.float32)
+    t0 = time.time()
+    params = jax.jit(vae.init)(jax.random.PRNGKey(0), video)
+    log(f"init {time.time() - t0:.0f}s")
+
+    chunk = jnp.asarray(rng.rand(1, T, H, W, 3) * 2 - 1, jnp.float32)
+
+    @jax.jit
+    def roundtrip(params, x, key):
+        z = vae.apply(params, x[0], key, method=AutoencoderKL.encode)[None]
+        y = vae.apply(params, z, method=AutoencoderKL.decode)
+        return y[0, 0, 0, 0, 0]
+
+    rtt = measure_rtt()
+    t0 = time.time()
+    float(roundtrip(params, chunk, jax.random.PRNGKey(1)))
+    log(f"compile+first run {time.time() - t0:.0f}s")
+    ts = []
+    for i in range(5):
+        t0 = time.time()
+        float(roundtrip(params, chunk + 0.001 * i, jax.random.PRNGKey(i)))
+        ts.append(time.time() - t0)
+    dt = sorted(ts)[len(ts) // 2] - rtt
+    log(f"roundtrip({T} frames @ {H}x{W}) {dt * 1000:.0f}ms")
+    emit("vae_roundtrip_frames_per_sec_per_chip", T / dt, "frames/s", BASELINES["vae"])
+
+
+# ---------------------------------------------------------------------------
+# config #3 — autoregressive stage 1 (200-frame pipeline target)
+# ---------------------------------------------------------------------------
+
+def _build_stage1(num_frames: int = 200):
+    import dataclasses
+
+    from streamingt2v_tpu.config import PipelineConfig
+    from streamingt2v_tpu.models.clip import CLIPVisionConfig
+    from streamingt2v_tpu.pipeline.build import build_pipeline
+
+    cfg = PipelineConfig(num_frames=num_frames)
+    t0 = time.time()
+    pipe = build_pipeline(cfg, seed=0, clip_cfg=CLIPVisionConfig())
+    pipe.models = dataclasses.replace(
+        pipe.models,
+        unet_params=to_bf16(pipe.models.unet_params),
+        controlnet_params=to_bf16(pipe.models.controlnet_params),
+        svd_unet_params=to_bf16(pipe.models.svd_unet_params),
+    )
+    log(f"build+init {time.time() - t0:.0f}s")
+    return cfg, pipe
+
+
+def bench_stage1() -> None:
+    log(f"devices: {jax.devices()}")
+    cfg, pipe = _build_stage1(200)
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
+
+    target = cfg.stage1_frames  # 100
+    t0 = time.time()
+    video = pipe.image_to_video(image, num_frames=target, seed=33)
+    np.asarray(video[-1, 0, 0])  # sync
+    compile_and_run = time.time() - t0
+    log(f"first full stage1 (compile+run) {compile_and_run:.0f}s")
+
+    t0 = time.time()
+    video = pipe.image_to_video(image * 0.99, num_frames=target, seed=34)
+    np.asarray(video[-1, 0, 0])
+    dt = time.time() - t0
+    log(f"stage1 {target} frames in {dt:.1f}s")
+    emit("stage1_autoregressive_frames_per_sec_per_chip", target / dt, "frames/s",
+         BASELINES["stage1"])
+
+
+# ---------------------------------------------------------------------------
+# config #4 — enhancement chunk (randomized blending geometry)
+# ---------------------------------------------------------------------------
+
+def _build_enhance():
+    import dataclasses
+
+    from streamingt2v_tpu.config import EnhanceConfig, VAEConfig
+    from streamingt2v_tpu.diffusion.ddim import DDIMScheduler
+    from streamingt2v_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+    from streamingt2v_tpu.models.clip_text import CLIPTextConfig, CLIPTextTower
+    from streamingt2v_tpu.models.enhance.unet import I2VGenXLUNet, I2VGenXLUNetConfig
+    from streamingt2v_tpu.models.vae import AutoencoderKL
+    from streamingt2v_tpu.pipeline.enhance import EnhanceModels, EnhancePipeline
+
+    cfg = EnhanceConfig()
+    ucfg = I2VGenXLUNetConfig()
+    vcfg = dataclasses.replace(VAEConfig(), temporal_decoder=False)
+    unet = I2VGenXLUNet(ucfg)
+    vae = AutoencoderKL(vcfg, use_quant_conv=True)
+    clip_v = CLIPVisionTower(CLIPVisionConfig())
+    clip_t = CLIPTextTower(CLIPTextConfig())
+
+    t0 = time.time()
+    h, w = 8, 8
+    u_params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,)), jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1, 1024)),
+        jnp.zeros((1, 77, 1024)),
+    )
+    v_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    cv_params = jax.jit(clip_v.init)(jax.random.PRNGKey(2), jnp.zeros((1, 224, 224, 3)))
+    ct_params = jax.jit(clip_t.init)(jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
+    log(f"enhance init {time.time() - t0:.0f}s")
+
+    models = EnhanceModels(
+        unet=unet, unet_params=to_bf16(u_params), vae=vae, vae_params=v_params,
+        clip_vision=clip_v, clip_vision_params=cv_params,
+        text_encoder=clip_t, text_params=ct_params, scheduler=DDIMScheduler(),
+    )
+    return cfg, EnhancePipeline(cfg, models)
+
+
+def bench_enhance() -> None:
+    log(f"devices: {jax.devices()}")
+    cfg, pipe = _build_enhance()
+    rng = np.random.RandomState(0)
+    # blending geometry: 2 chunks of 38 with overlap 12 -> 64 frames @720p
+    F = 2 * (cfg.chunk_size - cfg.overlap_size) + cfg.overlap_size  # 64
+    video = jnp.asarray(rng.rand(F, cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
+    keys = [video[0], video[cfg.chunk_size - cfg.overlap_size]]
+    pe = jnp.asarray(rng.randn(2, 77, 1024), jnp.bfloat16)
+
+    t0 = time.time()
+    out = pipe.enhance(video, keys, prompt_embeds=pe, use_randomized_blending=True)
+    np.asarray(out[-1, 0, 0])
+    log(f"first enhance (compile+run) {time.time() - t0:.0f}s")
+
+    t0 = time.time()
+    out = pipe.enhance(video * 0.99, keys, prompt_embeds=pe, use_randomized_blending=True)
+    np.asarray(out[-1, 0, 0])
+    dt = time.time() - t0
+    log(f"enhance {F} frames @ {cfg.height}x{cfg.width} in {dt:.1f}s")
+    emit("enhance_frames_per_sec_per_chip", F / dt, "frames/s", BASELINES["enhance"])
+
+
+# ---------------------------------------------------------------------------
+# config #5 — full pipeline (stage1 -> enhance -> VFI)
+# ---------------------------------------------------------------------------
+
+def bench_full() -> None:
+    from streamingt2v_tpu.config import VFIConfig
+    from streamingt2v_tpu.models.vfi import MultiScaleFlow
+    from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
+
+    log(f"devices: {jax.devices()}")
+    num_frames = 56  # scaled-down full run (7 stage-1 chunks' worth: 28->56)
+    cfg, stage1 = _build_stage1(num_frames)
+    ecfg, enhance = _build_enhance()
+    vfi_model = MultiScaleFlow(VFIConfig())
+    rng = np.random.RandomState(0)
+    img = jnp.zeros((1, 256, 256, 3))
+    vfi_params = jax.jit(vfi_model.init)(jax.random.PRNGKey(5), img, img)
+    vfi = InterpolatePipeline(vfi_model, vfi_params, tta=True)
+
+    image = jnp.asarray(rng.rand(cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
+    pe = jnp.asarray(rng.randn(2, 77, 1024), jnp.bfloat16)
+
+    def run(image, seed):
+        t0 = time.time()
+        s1 = stage1.image_to_video(image, num_frames=cfg.stage1_frames, seed=seed)
+        np.asarray(s1[-1, 0, 0])
+        log(f"  stage1 {s1.shape[0]} frames {time.time() - t0:.1f}s")
+        t1 = time.time()
+        up = jax.image.resize(s1, (s1.shape[0], ecfg.height, ecfg.width, 3), "bilinear")
+        enhanced = enhance.enhance(up, [up[0]], prompt_embeds=pe,
+                                   use_randomized_blending=False)
+        np.asarray(enhanced[-1, 0, 0])
+        log(f"  enhance {time.time() - t1:.1f}s")
+        t2 = time.time()
+        out = vfi.interpolate_video(enhanced)
+        out8 = np.asarray(jnp.clip((out + 1) * 127.5, 0, 255).astype(jnp.uint8))
+        log(f"  vfi {time.time() - t2:.1f}s")
+        return out8, time.time() - t0
+
+    t0 = time.time()
+    out8, _ = run(image, 33)
+    log(f"first full pipeline (compile+run) {time.time() - t0:.0f}s")
+    out8, dt = run(image * 0.99, 34)
+    log(f"full pipeline: {out8.shape[0]} frames @ {out8.shape[1]}x{out8.shape[2]} in {dt:.1f}s")
+    emit("full_pipeline_frames_per_sec_per_chip", out8.shape[0] / dt, "frames/s",
+         BASELINES["full"])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="denoise",
+                    choices=["denoise", "vae", "stage1", "enhance", "full"])
+    args = ap.parse_args()
+    {"denoise": bench_denoise, "vae": bench_vae, "stage1": bench_stage1,
+     "enhance": bench_enhance, "full": bench_full}[args.mode]()
 
 
 if __name__ == "__main__":

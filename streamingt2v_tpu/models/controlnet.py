@@ -109,6 +109,15 @@ class ControlNet(nn.Module):
             out = fn(h.reshape((bb * tt,) + h.shape[2:]))
             return out.reshape((bb, tt) + out.shape[1:])
 
+        # remat mirrors the base UNet's use_checkpoint flag
+        res_cls = (
+            nn.remat(UNetVideoResBlock) if ucfg.use_checkpoint else UNetVideoResBlock
+        )
+        attn_cls = (
+            nn.remat(SpatialVideoTransformer) if ucfg.use_checkpoint
+            else SpatialVideoTransformer
+        )
+
         cond_embed = spatial(
             controlnet_cond.astype(dtype),
             ControlNetConditioningEmbedding(
@@ -130,12 +139,12 @@ class ControlNet(nn.Module):
         for level, mult in enumerate(ucfg.channel_mult):
             for _ in range(ucfg.num_res_blocks):
                 ch = mult * ucfg.model_channels
-                h = UNetVideoResBlock(ch, ucfg.video_kernel_size, name=f"input_{blk}_res")(
+                h = res_cls(ch, ucfg.video_kernel_size, name=f"input_{blk}_res")(
                     h, emb, image_only_indicator
                 )
                 if ds in ucfg.attention_resolutions:
                     heads = ch // ucfg.num_head_channels
-                    h = SpatialVideoTransformer(
+                    h = attn_cls(
                         heads=heads, dim_head=ucfg.num_head_channels,
                         depth=ucfg.transformer_depth, context_dim=ucfg.context_dim,
                         disable_temporal_crossattention=ucfg.disable_temporal_crossattention,
@@ -150,18 +159,18 @@ class ControlNet(nn.Module):
                 hs.append(h)
                 blk += 1
 
-        h = UNetVideoResBlock(ch, ucfg.video_kernel_size, name="middle_res_0")(
+        h = res_cls(ch, ucfg.video_kernel_size, name="middle_res_0")(
             h, emb, image_only_indicator
         )
         heads = ch // ucfg.num_head_channels
-        h = SpatialVideoTransformer(
+        h = attn_cls(
             heads=heads, dim_head=ucfg.num_head_channels,
             depth=ucfg.transformer_depth, context_dim=ucfg.context_dim,
             disable_temporal_crossattention=ucfg.disable_temporal_crossattention,
             max_time_embed_period=ucfg.max_period,
             name="middle_attn",
         )(h, context, image_only_indicator)
-        h = UNetVideoResBlock(ch, ucfg.video_kernel_size, name="middle_res_1")(
+        h = res_cls(ch, ucfg.video_kernel_size, name="middle_res_1")(
             h, emb, image_only_indicator
         )
         return tuple(hs), h

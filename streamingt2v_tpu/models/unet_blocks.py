@@ -68,20 +68,29 @@ class FeedForward(nn.Module):
 
 class CrossAttention(nn.Module):
     """q/k/v projections (no bias) + output projection (attention.py:262).
-    Self-attention when context is None."""
+    Self-attention when context is None.
+
+    `pre`/`post` are optional layout adapters applied between the
+    projections and the attention core: the temporal blocks project in the
+    spatial-major layout (dense channel-minor fusions) and only transpose
+    q/k/v/o around the T-axis attention itself (docs/PERF.md)."""
 
     heads: int
     dim_head: int
     context_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, pre=None, post=None):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        if pre is not None:
+            q, k, v = pre(q), pre(k), pre(v)
         o = attention(q, k, v, num_heads=self.heads)
+        if post is not None:
+            o = post(o)
         return nn.Dense(x.shape[-1], name="to_out")(o)
 
 
@@ -145,10 +154,17 @@ class BasicTransformerBlock(nn.Module):
 class VideoTransformerBlock(nn.Module):
     """Temporal transformer block (video_attention.py:23-171).
 
-    Input is already time-major: (N, T, C) with N = B * S tokens.
     ff_in (pre-FF) -> temporal self-attn -> cross-attn to time context ->
     FF, residuals throughout (is_res: inner_dim == dim always here).
-    """
+
+    Layout: input is SPATIAL-major (B*T, S, C) with `batch`/`frames` call
+    args giving the (B, T) split.  The LN/FF/projection chain is position-
+    independent, so it runs in the channel-minor spatial layout (dense
+    fusions); only the T-axis self-attention transposes q/k/v/o to
+    time-major — the reference instead rearranges the whole activation
+    (b t) s c -> (b s) t c around the block (video_attention.py:100-168),
+    which on TPU left every fusion in a strided layout at ~half HBM
+    bandwidth (docs/PERF.md)."""
 
     heads: int
     dim_head: int
@@ -157,17 +173,28 @@ class VideoTransformerBlock(nn.Module):
     disable_temporal_crossattention: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, *, batch: int, frames: int):
         c = x.shape[-1]
+        b, t, s = batch, frames, x.shape[1]
+
+        def to_time_major(z):
+            return z.reshape(b, t, s, -1).transpose(0, 2, 1, 3).reshape(b * s, t, -1)
+
+        def to_spatial_major(z):
+            return z.reshape(b, s, t, -1).transpose(0, 2, 1, 3).reshape(b * t, s, -1)
+
         if self.ff_in:
             si, bi = _ln_params(self, "norm_in", c)
             x = x + FeedForward(c, name="ff_in")(layer_norm(x, si, bi))
         s1, b1 = _ln_params(self, "norm1", c)
         x = x + CrossAttention(self.heads, self.dim_head, name="attn1")(
-            layer_norm(x, s1, b1)
+            layer_norm(x, s1, b1), pre=to_time_major, post=to_spatial_major
         )
         if not self.disable_temporal_crossattention:
             s2, b2 = _ln_params(self, "norm2", c)
+            # context rows depend only on B; attending S tokens per (b, t)
+            # row to the same kv set is identical math to the reference's
+            # (b s) t layout (softmax is per-query).
             x = x + CrossAttention(
                 self.heads, self.dim_head, context_dim=self.context_dim, name="attn2"
             )(layer_norm(x, s2, b2), context)
@@ -235,13 +262,13 @@ class SpatialVideoTransformer(nn.Module):
                 self.heads, self.dim_head, context_dim=self.context_dim,
                 use_apm=self.use_apm, name=f"block_{d}",
             )(h, ctx_sp)
-            # temporal: (B*T, S, C) -> (B*S, T, C)
-            h5 = h.reshape(b, t, s, inner)
-            h_time = (h5 + pos[None, :, None, :]).transpose(0, 2, 1, 3).reshape(b * s, t, inner)
+            # temporal branch stays spatial-major; frame pos-embed rows
+            # broadcast over the token axis ((b t) rows share a frame).
+            h_time_in = h + jnp.tile(pos[:, None, :], (b, 1, 1))
             if ctx_time is not None and not self.disable_temporal_crossattention:
                 ctx_rep = jnp.broadcast_to(
-                    ctx_time[:, None], (b, s) + ctx_time.shape[1:]
-                ).reshape((b * s,) + ctx_time.shape[1:])
+                    ctx_time[:, None], (b, t) + ctx_time.shape[1:]
+                ).reshape((b * t,) + ctx_time.shape[1:])
             else:
                 ctx_rep = None
             h_time = VideoTransformerBlock(
@@ -249,11 +276,11 @@ class SpatialVideoTransformer(nn.Module):
                 ff_in=True,
                 disable_temporal_crossattention=self.disable_temporal_crossattention,
                 name=f"time_block_{d}",
-            )(h_time, ctx_rep)
-            h_time = h_time.reshape(b, s, t, inner).transpose(0, 2, 1, 3)
-            h = blend_with_images(mix, h5, h_time, image_only_indicator).reshape(
-                b * t, s, inner
-            )
+            )(h_time_in, ctx_rep, batch=b, frames=t)
+            h = blend_with_images(
+                mix, h.reshape(b, t, s, inner), h_time.reshape(b, t, s, inner),
+                image_only_indicator,
+            ).reshape(b * t, s, inner)
             h = shard(h, "batch", "tokens", None)
 
         h = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj_out")(h)

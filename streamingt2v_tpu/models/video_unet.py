@@ -90,12 +90,21 @@ class VideoUNet(nn.Module):
         if context is not None:
             context = context.astype(dtype)
 
+        # use_checkpoint: rematerialize block activations in the backward
+        # pass (the TPU replacement for the reference's `use_checkpoint`
+        # torch.utils.checkpoint flags, config.yaml:89 / openaimodel).
+        res_cls = nn.remat(UNetVideoResBlock) if cfg.use_checkpoint else UNetVideoResBlock
+        attn_cls = (
+            nn.remat(SpatialVideoTransformer) if cfg.use_checkpoint
+            else SpatialVideoTransformer
+        )
+
         def res(ch, name):
-            return UNetVideoResBlock(ch, cfg.video_kernel_size, name=name)
+            return res_cls(ch, cfg.video_kernel_size, name=name)
 
         def attn(ch, name):
             heads = ch // cfg.num_head_channels
-            return SpatialVideoTransformer(
+            return attn_cls(
                 heads=heads,
                 dim_head=cfg.num_head_channels,
                 depth=cfg.transformer_depth,
@@ -181,8 +190,11 @@ class VideoUNet(nn.Module):
                 blk += 1
 
         # ---- out head ----
+        # per-FRAME GroupNorm statistics: the reference normalizes the
+        # (B*T, C, H, W) view (openaimodel `out`), not across frames —
+        # caught by the full-model golden (tests/test_composition_goldens.py)
         s, bias = _gn_params(self, "out_norm", h.shape[-1])
-        h = group_norm(h, s, bias, eps=1e-5, act="silu")
+        h = spatial(h, lambda hf: group_norm(hf, s, bias, eps=1e-5, act="silu"))
         h = spatial(h, nn.Conv(cfg.out_channels, (3, 3),
                                kernel_init=nn.initializers.zeros, name="out_conv"))
         return h.astype(jnp.float32)

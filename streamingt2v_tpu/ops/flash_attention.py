@@ -13,6 +13,14 @@ The grid is (B, Lq/bq, Lk/bk); the k-axis is innermost so the running
 max / denominator / accumulator scratch persists across k blocks
 (TPU grids execute sequentially).  fp32 accumulation throughout; inputs
 may be bf16.
+
+Geometry handling (profile-driven, docs/PERF.md):
+  - the head dim is NOT padded to 128: d=64 runs natively (the MXU runs a
+    64-deep contraction at the same rate as a zero-padded 128 one, and the
+    HBM pad/slice copies around the kernel cost real wall-time);
+  - block sizes are chosen per-shape to minimize sequence padding (the
+    fixed 1024 default padded the 2304-token level-1 geometry to 3072 on
+    both axes = +78% MXU work).
 """
 
 from __future__ import annotations
@@ -27,7 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, kv_len, block_k):
+    """The softmax scale and ln2 conversion are pre-folded into q by the
+    caller (q' = q * scale * log2(e)), so the score block needs no scalar
+    multiply and the softmax runs on exp2 — one fewer full VPU pass over
+    the (bq, bk) block per k step each."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -51,7 +63,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
-    ) * scale  # (bq, bk) f32
+    )  # (bq, bk) f32, already in the log2 domain
     if kv_len % block_k != 0:
         # only the final k block contains padding; branch so the common
         # blocks skip the per-element iota+select entirely
@@ -65,8 +77,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
     # keeps the VPU layout aligned); slice lane 0 when a (bq, 1) is needed.
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new[:, 0:1])
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new[:, 0:1])
+    alpha = jnp.exp2(m_prev - m_new)
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha[:, 0:1] + jnp.dot(
         p.astype(v.dtype), v,
@@ -90,6 +102,21 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
+def _pick_block(length: int, maximum: int, granule: int) -> int:
+    """Pick a block size <= maximum (multiple of `granule`) that minimizes
+    the padded total ceil(length/b)*b; ties go to the larger block."""
+    if length <= maximum:
+        return -(-length // granule) * granule
+    best_b, best_padded = granule, None
+    for b in range(maximum, granule - 1, -granule):
+        padded = -(-length // b) * b
+        if best_padded is None or padded < best_padded:
+            best_b, best_padded = b, padded
+            if padded == length:
+                break
+    return best_b
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(
     q: jax.Array,
@@ -104,24 +131,26 @@ def flash_attention(
     assert q.ndim == 3 and k.ndim == 3 and v.ndim == 3
     b, lq, d = q.shape
     _, lk, _ = k.shape
-    scale = d ** -0.5
+    # fold softmax scale + nat->log2 conversion into q (see kernel docstring)
+    q = (q.astype(jnp.float32) * (d ** -0.5 * 1.4426950408889634)).astype(q.dtype)
 
-    # Pad head dim to the 128-lane tile: zero columns leave q.k^T unchanged
-    # and add zero output columns which are sliced away.
-    d_pad = max(128, -(-d // 128) * 128)
+    # Head dim: multiples of 64 run natively; anything else pads to the
+    # next 64 (zero columns leave q.k^T unchanged; zero output columns are
+    # sliced away).
+    d_pad = max(64, -(-d // 64) * 64)
     q = _pad_to(q, 2, d_pad)
     k = _pad_to(k, 2, d_pad)
     v = _pad_to(v, 2, d_pad)
 
-    block_q = min(block_q, max(8, -(-lq // 8) * 8))
-    block_k = min(block_k, max(128, -(-lk // 128) * 128))
+    block_q = _pick_block(lq, block_q, 8)
+    block_k = _pick_block(lk, block_k, 128)
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k)
     vp = _pad_to(v, 1, block_k)
     nq = qp.shape[1] // block_q
     nk = kp.shape[1] // block_k
 
-    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=lk, block_k=block_k)
+    kernel = functools.partial(_flash_kernel, kv_len=lk, block_k=block_k)
     out = pl.pallas_call(
         kernel,
         grid=(b, nq, nk),
@@ -147,4 +176,6 @@ def flash_attention(
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :lq, :d]
+    if out.shape[1] != lq or d_pad != d:
+        out = out[:, :lq, :d]
+    return out

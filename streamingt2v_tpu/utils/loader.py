@@ -55,20 +55,37 @@ def load_stage1_checkpoints(stage1, ckpt_dir: str):
     )
     cond_vars = _convert_conditioner(sd, m, cfg)
 
+    # First-chunk SVD-XT weights (reference runs the genuine diffusers
+    # StableVideoDiffusionPipeline for chunk 0, streaming_svd.py:388-390).
+    # Convert from the diffusers layout when present; otherwise fall back to
+    # the StreamingSVD-finetuned base weights (same architecture; the CAM
+    # mergers are simply absent in controlnet_mode=False).
+    svd_root = os.path.join(ckpt_dir, "svd_xt")
+    if os.path.isdir(os.path.join(svd_root, "unet")):
+        from streamingt2v_tpu.utils import checkpoint_diffusers as ckd
+
+        svd_cfg = dataclasses.replace(cfg.unet, controlnet_mode=False)
+        svd_vars, _ = ck.convert_state_dict(
+            _load_component_sd(svd_root, "unet"),
+            ckd.svd_unet_map(svd_cfg),
+            m.svd_unet_params,
+        )
+    else:
+        svd_vars = _strip_cam_mergers(unet_vars)
+
     models = dataclasses.replace(
         m, unet_params=unet_vars, controlnet_params=cn_vars, vae_params=vae_vars,
-        conditioner_params=cond_vars,
+        conditioner_params=cond_vars, svd_unet_params=svd_vars,
     )
-    # First-chunk SVD-XT weights ship in diffusers layout (svd_xt/); the
-    # diffusers-name map lands with the enhance loaders.  Until converted,
-    # reuse the streaming UNet's base weights (same architecture; CAM
-    # mergers are unused when hs_control is None).
-    svd_path = os.path.join(ckpt_dir, "svd_xt")
-    if os.path.exists(svd_path):
-        raise NotImplementedError(
-            "diffusers-layout SVD-XT conversion not wired yet; see utils/checkpoint.py"
-        )
     return _replace_models(stage1, models)
+
+
+def _strip_cam_mergers(unet_vars):
+    """Streaming-UNet params minus the CAM mergers == the first-chunk UNet's
+    (controlnet_mode=False) param tree."""
+    params = {k: v for k, v in unet_vars["params"].items()
+              if not k.startswith("cam_merger")}
+    return {**unet_vars, "params": params}
 
 
 def _replace_models(stage1, models):

@@ -89,6 +89,7 @@ def test_patch_discriminator_shapes():
     assert out.shape[0] == 1 and out.shape[-1] == 1
 
 
+@pytest.mark.slow
 def test_lpips_structure_and_map():
     lp = LPIPS()
     x = jnp.zeros((1, 32, 32, 3))

@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +66,7 @@ def test_concat_timestep_embed_shape():
     assert emb2.shape == (1, 16)
 
 
+@pytest.mark.slow
 def test_conditioner_outputs_and_uc():
     mod, cfg = _cond_module()
     batch = _batch(hw=28)

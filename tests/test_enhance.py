@@ -23,6 +23,9 @@ from streamingt2v_tpu.pipeline.enhance import EnhanceModels, EnhancePipeline, ce
 
 # ---------------- DDIM ----------------
 
+pytestmark = pytest.mark.slow
+
+
 def test_ddim_timesteps_leading():
     s = DDIMScheduler(DDIMConfig(num_train_timesteps=1000, steps_offset=1))
     ts = s.timesteps(10)

@@ -8,6 +8,9 @@ import pytest
 from streamingt2v_tpu.utils import media
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_convert_range_and_uint8():
     v = np.asarray([[-1.0, 0.0, 1.0]])
     out = media.to_uint8(v[..., None, None].transpose(0, 2, 3, 1))

@@ -1,5 +1,6 @@
 """Mesh + sharding tests on the virtual 8-device CPU mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +74,7 @@ def test_shard_params_places_on_mesh():
     assert blk["in_conv"]["kernel"].sharding.spec in (P(), P(None, None, None, None))
 
 
+@pytest.mark.slow
 def test_seq_sharded_transformer_matches_single_device():
     """SP sweep: SpatialVideoTransformer under a data=2/seq=2/model=2 mesh
     with the in-model `shard()` constraints active, at a large-token
@@ -105,6 +107,7 @@ def test_seq_sharded_transformer_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_inference_matches_single_device():
     """Multi-chip inference: the streaming denoise step under a DP+TP mesh
     must match the unsharded result (XLA inserts the collectives)."""

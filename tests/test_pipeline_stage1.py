@@ -10,6 +10,9 @@ from streamingt2v_tpu.config import PipelineConfig
 from streamingt2v_tpu.pipeline.build import build_pipeline
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def pipeline():
     return build_pipeline(PipelineConfig.tiny(), seed=0)

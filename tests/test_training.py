@@ -20,6 +20,11 @@ from streamingt2v_tpu.parallel.mesh import create_mesh
 from streamingt2v_tpu.parallel.train import init_sharded_state, make_train_step
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 def test_edm_sigma_sampler_lognormal():
     sig = edm_sigma_sampler(jax.random.PRNGKey(0), 20000)
     logs = np.log(np.asarray(sig))

@@ -18,6 +18,9 @@ from streamingt2v_tpu.models.vfi import (
 from streamingt2v_tpu.ops.warp import backward_warp
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_backward_warp_zero_flow_identity():
     x = jnp.asarray(np.random.RandomState(0).rand(1, 5, 6, 3), jnp.float32)
     out = backward_warp(x, jnp.zeros((1, 5, 6, 2)))

@@ -1,5 +1,6 @@
 """VideoUNet / ControlNet / CAM / wrapper tests on tiny configs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,6 +33,7 @@ def _inputs(cfg, t=T):
     return x, t_cont, ctx, y
 
 
+@pytest.mark.slow
 def test_unet_forward_shapes_no_control():
     cfg = _ucfg(controlnet_mode=False)
     unet = VideoUNet(cfg)
@@ -43,6 +45,7 @@ def test_unet_forward_shapes_no_control():
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+@pytest.mark.slow
 def test_unet_temporal_mixing():
     """Perturbing frame 0 must change frame 4 output (temporal attention
     spans all frames)."""
@@ -59,6 +62,7 @@ def test_unet_temporal_mixing():
     assert not np.allclose(np.asarray(out1[0, 4]), np.asarray(out2[0, 4]))
 
 
+@pytest.mark.slow
 def test_controlnet_outputs():
     ucfg = _ucfg()
     ccfg = ControlNetConfig.tiny()
@@ -103,6 +107,7 @@ def test_cam_conditioning_changes_output():
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_streaming_wrapper_end_to_end():
     """Full streaming network fn: ControlNet -> CAM-fused UNet, CFG batch."""
     ucfg = _ucfg(controlnet_mode=True)
@@ -180,3 +185,40 @@ def test_unet_param_count_full_config():
     shapes = jax.eval_shape(unet.init, jax.random.PRNGKey(0), x, t, ctx, y)
     n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     assert 1.4e9 < n < 1.7e9, n / 1e9
+
+
+@pytest.mark.slow
+def test_use_checkpoint_remat_matches_forward_and_grad():
+    """use_checkpoint=True (jax.checkpoint remat on res/attn blocks) must
+    keep the param tree and outputs identical; gradients stay finite."""
+    import dataclasses
+
+    import numpy as np
+
+    from streamingt2v_tpu.config import VideoUNetConfig
+    from streamingt2v_tpu.models.video_unet import VideoUNet
+
+    cfg = VideoUNetConfig.tiny(controlnet_mode=False)
+    cfg_r = dataclasses.replace(cfg, use_checkpoint=True)
+    unet, unet_r = VideoUNet(cfg), VideoUNet(cfg_r)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 2, 8, 8, cfg.in_channels), jnp.float32)
+    t = jnp.ones((1,))
+    ctx = jnp.asarray(rng.randn(1, 2, 1, cfg.context_dim), jnp.float32)
+    y = jnp.asarray(rng.randn(1, 2, cfg.adm_in_channels), jnp.float32)
+
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), x, t, ctx, y)
+    params_r = jax.jit(unet_r.init)(jax.random.PRNGKey(0), x, t, ctx, y)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_r)
+
+    out = jax.jit(unet.apply)(params, x, t, ctx, y)
+    out_r = jax.jit(unet_r.apply)(params, x, t, ctx, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-5, rtol=1e-5)
+
+    def loss(p):
+        return jnp.mean(unet_r.apply(p, x, t, ctx, y) ** 2)
+
+    grads = jax.jit(jax.grad(loss))(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
