@@ -176,8 +176,7 @@ def bench_vae() -> None:
 
     @jax.jit
     def roundtrip(params, x, key):
-        z = vae.apply(params, x[0], key, method=AutoencoderKL.encode)[None]
-        y = vae.apply(params, z, method=AutoencoderKL.decode)
+        y = vae.apply(params, x, key)  # encode (per frame) + temporal decode
         return y[0, 0, 0, 0, 0]
 
     rtt = measure_rtt()

@@ -190,6 +190,10 @@ class InferenceParams:
     n_autoregressive_generations: int = 2
     num_conditional_frames: int = 7
     anchor_frames: int = 6  # 0-based index of the CLIP anchor frame
+    # APM: [a, b) range of so-far-video frames whose CLIP embeddings form
+    # the 16 appearance tokens (reference extract_anchor_frames range mode,
+    # streaming_svd.py:252-256; 16+1 tokens at attention.py:604)
+    apm_anchor_frames: Tuple[int, int] = (0, 16)
     reset_seed_per_generation: bool = True
     # conditioning values fed to get_batch_sgm (streaming_svd.py:169-183)
     fps_id: int = 6

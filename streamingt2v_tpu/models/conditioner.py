@@ -106,6 +106,20 @@ class Conditioner(nn.Module):
         uc = self(batch, force_zero=force_uc_zero)
         return c, uc
 
+    def encode_frames(self, frames: jax.Array) -> jax.Array:
+        """Pooled CLIP embedding per frame: (B, N, H, W, 3) -> (B, N, D).
+
+        The APM token source (reference image_encoder_apm,
+        streaming_svd.py:64-71): each anchor frame of the so-far-generated
+        video contributes one token to the 16+1 APM context."""
+        b, n = frames.shape[:2]
+        flat = frames.reshape((b * n,) + frames.shape[2:])
+        if self.cfg.use_clip:
+            pooled, _ = self.clip(clip_preprocess(flat, self.clip_cfg.image_size))
+        else:
+            pooled = self.toy_clip(jnp.mean(flat, axis=(1, 2)))
+        return pooled.reshape(b, n, -1)
+
 
 def broadcast_cond(cond: Dict[str, jax.Array], num_frames: int) -> Dict[str, jax.Array]:
     """Expand per-batch conditionings to the (B, T, ...) layout the UNet

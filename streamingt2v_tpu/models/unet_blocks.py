@@ -49,9 +49,26 @@ def _ln_params(module: nn.Module, name: str, c: int):
     return scale, bias
 
 
+class _DenseParams(nn.Module):
+    """Declares an nn.Dense-shaped param pair without binding the matmul,
+    so FeedForward can route through the fused Pallas kernel while keeping
+    the checkpoint-mapped param tree (proj/kernel, proj/bias, ...)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward (attention.py:52-76): proj to 2*inner, a*gelu(b),
-    project back."""
+    project back.  On TPU the whole block runs as one fused Pallas kernel
+    (ops/fused_ff.py) — the (N, 2*inner) GEGLU intermediate never touches
+    HBM; elsewhere the plain jnp path is numerically identical."""
 
     dim_out: int
     mult: int = 4
@@ -59,11 +76,23 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = int(x.shape[-1] * self.mult)
-        h = nn.Dense(inner * 2, name="proj")(x)
+        w1, b1 = _DenseParams(inner * 2, name="proj")(x.shape[-1])
+        w2, b2 = _DenseParams(self.dim_out, name="out")(inner)
+
+        n_rows = 1
+        for d in x.shape[:-1]:
+            n_rows *= d
+        if jax.default_backend() == "tpu" and n_rows >= 256 and inner % 128 == 0:
+            from streamingt2v_tpu.ops.fused_ff import geglu_ff
+
+            return geglu_ff(x, w1.astype(x.dtype), b1.astype(x.dtype),
+                            w2.astype(x.dtype), b2.astype(x.dtype))
+
+        h = x @ w1.astype(x.dtype) + b1.astype(x.dtype)
         a, b = jnp.split(h, 2, axis=-1)
         # exact (erf) GELU: torch F.gelu's default, used by sgm/diffusers
         h = a * jax.nn.gelu(b.astype(jnp.float32), approximate=False).astype(b.dtype)
-        return nn.Dense(self.dim_out, name="out")(h)
+        return h @ w2.astype(x.dtype) + b2.astype(x.dtype)
 
 
 class CrossAttention(nn.Module):

@@ -1,0 +1,184 @@
+"""Fused GEGLU feed-forward Pallas kernel.
+
+Computes `(a * gelu_erf(b)) @ W2 + b2` with `[a ‖ b] = x @ W1 + b1` in one
+kernel, never materializing the (N, 2*inner) intermediate in HBM.  The
+reference's FF (attention.py:52-76) costs two XLA matmuls plus a full HBM
+round-trip of the 8x-wide GEGLU tensor per call; the profile shows that
+round-trip is a top-3 bandwidth consumer in the UNet step (docs/PERF.md).
+
+Grid: (N / block_n, inner / block_i) with the inner axis innermost —
+the f32 output accumulator persists across inner blocks (TPU grids run
+sequentially), exactly the flash-attention scratch pattern.
+
+Numerics: f32 accumulation on both matmuls, erf-based GELU in f32 (matches
+torch F.gelu default / the jnp path bit-for-bit within bf16 rounding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf approximation (max error
+    1.5e-7 — far below bf16 resolution).  Mosaic has no erf/erfc lowering,
+    so jax.nn.gelu(approximate=False) cannot be used inside the kernel."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_erf(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _ff_kernel(x_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref, w2_ref, b2_ref,
+               o_ref, acc_scr):
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[:]
+    a = jax.lax.dot(
+        x, w1a_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) + b1a_ref[0]
+    b = jax.lax.dot(
+        x, w1b_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) + b1b_ref[0]
+    g = a * _gelu_erf(b)
+    acc_scr[:] += jax.lax.dot(
+        g.astype(x.dtype), w2_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        o_ref[:] = (acc_scr[:] + b2_ref[0]).astype(o_ref.dtype)
+
+
+def _pick(n: int, maximum: int, granule: int) -> int:
+    if n <= maximum:
+        return -(-n // granule) * granule
+    best, best_padded = granule, None
+    for c in range(maximum, granule - 1, -granule):
+        padded = -(-n // c) * c
+        if best_padded is None or padded < best_padded:
+            best, best_padded = c, padded
+            if padded == n:
+                break
+    return best
+
+
+# scoped-VMEM budget for block selection: v5e caps kernel stack at 16M and
+# Mosaic double-buffers the grid blocks; leave headroom for temporaries.
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _budget_blocks(c: int, c_out: int, dsize: int,
+                   max_n: int, max_i: int) -> tuple:
+    """Largest (block_n, block_i) whose double-buffered blocks + f32
+    accumulator + (bn, bi) f32 temporaries fit the scoped-VMEM budget."""
+    best = (128, 128)
+    best_score = -1
+    for bn in (1024, 512, 256, 128):
+        if bn > max(max_n, 128):
+            continue
+        for bi in (1024, 512, 256, 128):
+            if bi > max(max_i, 128):
+                continue
+            est = (2 * dsize * (bn * c + 2 * c * bi + bi * c_out + bn * c_out)
+                   + 4 * bn * c_out + 12 * bn * bi)
+            if est <= _VMEM_BUDGET and bn * bi > best_score:
+                best, best_score = (bn, bi), bn * bi
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_i", "interpret"))
+def geglu_ff(
+    x: jax.Array,      # (..., C)
+    w1: jax.Array,     # (C, 2*inner): [a-half ‖ b-half] (torch GEGLU layout)
+    b1: jax.Array,     # (2*inner,)
+    w2: jax.Array,     # (inner, C_out)
+    b2: jax.Array,     # (C_out,)
+    *,
+    block_n: int = 0,  # 0 = auto (scoped-VMEM budget)
+    block_i: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    inner = w2.shape[0]
+    c_out = w2.shape[1]
+    assert w1.shape == (c, 2 * inner), (w1.shape, c, inner)
+
+    n = 1
+    for d in lead:
+        n *= d
+    xf = x.reshape(n, c)
+
+    if not block_n or not block_i:
+        auto_n, auto_i = _budget_blocks(c, c_out, x.dtype.itemsize, n, inner)
+        block_n = block_n or auto_n
+        block_i = block_i or auto_i
+    bn = _pick(n, block_n, 8)
+    bi = _pick(inner, block_i, 128)
+    n_pad = (-n) % bn
+    if n_pad:
+        xf = jnp.pad(xf, ((0, n_pad), (0, 0)))
+    i_pad = (-inner) % bi
+    w1a, w1b = w1[:, :inner], w1[:, inner:]
+    b1a, b1b = b1[:inner], b1[inner:]
+    if i_pad:
+        w1a = jnp.pad(w1a, ((0, 0), (0, i_pad)))
+        w1b = jnp.pad(w1b, ((0, 0), (0, i_pad)))
+        b1a = jnp.pad(b1a, (0, i_pad))
+        b1b = jnp.pad(b1b, (0, i_pad))
+        w2 = jnp.pad(w2, ((0, i_pad), (0, 0)))
+        # padded b-half rows give gelu(0)=0, so they contribute nothing
+
+    nn_ = xf.shape[0] // bn
+    ii = w2.shape[0] // bi
+
+    out = pl.pallas_call(
+        _ff_kernel,
+        grid=(nn_, ii),
+        in_specs=[
+            pl.BlockSpec((bn, c), lambda ni_, i: (ni_, 0)),
+            pl.BlockSpec((c, bi), lambda ni_, i: (0, i)),
+            pl.BlockSpec((c, bi), lambda ni_, i: (0, i)),
+            pl.BlockSpec((1, bi), lambda ni_, i: (0, i)),
+            pl.BlockSpec((1, bi), lambda ni_, i: (0, i)),
+            pl.BlockSpec((bi, c_out), lambda ni_, i: (i, 0)),
+            pl.BlockSpec((1, c_out), lambda ni_, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bn, c_out), lambda ni_, i: (ni_, 0)),
+        out_shape=jax.ShapeDtypeStruct((xf.shape[0], c_out), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, c_out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * 2 * inner + 2 * n * inner * c_out,
+            bytes_accessed=(xf.size + w1.size + w2.size) * x.dtype.itemsize,
+            transcendentals=n * inner,
+        ),
+        interpret=interpret,
+    )(xf, w1a, w1b, b1a[None], b1b[None], w2, b2[None])
+    if n_pad:
+        out = out[:n]
+    return out.reshape(lead + (c_out,))

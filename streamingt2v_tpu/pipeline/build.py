@@ -31,7 +31,8 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
 
     k = jax.random.split(key, 8)
     unet = VideoUNet(cfg.unet)
-    svd_cfg = dataclasses.replace(cfg.unet, controlnet_mode=False)
+    # first chunk = plain SVD-XT: no CAM fusion and no APM
+    svd_cfg = dataclasses.replace(cfg.unet, controlnet_mode=False, use_apm=False)
     svd_unet = VideoUNet(svd_cfg)
     controlnet = ControlNet(cfg.unet, cfg.controlnet)
     vae = AutoencoderKL(cfg.vae)
@@ -45,13 +46,17 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
     f_cond = cfg.inference.num_conditional_frames
     x = jnp.zeros((1, t, h, w, cfg.unet.in_channels))
     t_cont = jnp.zeros((1,))
-    ctx = jnp.zeros((1, t, 1, cfg.unet.context_dim))
+    # APM needs the full 16+1-token context at init (the mixer's Conv1d
+    # in-channels = token count, attention.py:604-606)
+    a, b = cfg.inference.apm_anchor_frames
+    n_ctx = 1 + (b - a) if cfg.unet.use_apm else 1
+    ctx = jnp.zeros((1, t, n_ctx, cfg.unet.context_dim))
     y = jnp.zeros((1, t, cfg.unet.adm_in_channels))
     pix_scale = 2 ** (len(cfg.controlnet.conditioning_embedding_out_channels) - 1)
     pix = jnp.zeros((1, t, h * pix_scale, w * pix_scale, 3))
 
     unet_params = unet.init(k[0], x, t_cont, ctx, y)
-    svd_params = svd_unet.init(k[1], x, t_cont, ctx, y)
+    svd_params = svd_unet.init(k[1], x, t_cont, ctx[:, :, :1], y)
     cn_params = controlnet.init(k[2], x, t_cont, ctx[:, :, :1], y, pix)
     vae_params = vae.init(k[3], jnp.zeros((1, 2, 32, 32, 3)))
     batch = {

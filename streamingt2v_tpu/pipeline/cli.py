@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_memopt", action="store_true",
                    help="accepted for reference CLI compatibility; no-op on TPU")
     p.add_argument("--seed", type=int, default=33)
+    p.add_argument("--container", choices=["mp4", "y4m"], default="mp4",
+                   help="y4m streams through the native async media feeder "
+                        "when built (encode overlaps compute)")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight config (smoke testing)")
@@ -86,7 +89,7 @@ def main(argv=None) -> int:
     os.makedirs(args.output, exist_ok=True)
     for path in inputs:
         name = os.path.splitext(os.path.basename(path))[0]
-        out_path = os.path.join(args.output, f"{name}.mp4")
+        out_path = os.path.join(args.output, f"{name}.{args.container}")
         print(f"[streamingt2v_tpu] {path} -> {out_path}")
         pipe(path, out_path, seed=args.seed)
     print(json.dumps(timing_report(), indent=2))

@@ -110,13 +110,15 @@ class Stage1Pipeline:
         return self._decode_with(vae_params, z)
 
     def _stream_chunk_impl(self, unet_params, cn_params, vae_params, cond_params,
-                           anchor_frame, ctrl_frames, key):
-        """anchor_frame: (1, H, W, 3); ctrl_frames: (1, F_cond, H, W, 3)."""
+                           anchor_frame, ctrl_frames, key, apm_frames=None):
+        """anchor_frame: (1, H, W, 3); ctrl_frames: (1, F_cond, H, W, 3);
+        apm_frames: (1, 16, H, W, 3) appearance anchor frames (use_apm)."""
         m = self.models
         num_frames = self.cfg.inference.chunk_frames
         f_cond = self.cfg.inference.num_conditional_frames
         k_cond, k_sample = jax.random.split(key)
-        c, uc = self._conditioning_with(cond_params, anchor_frame, k_cond, num_frames)
+        c, uc = self._conditioning_with(cond_params, anchor_frame, k_cond, num_frames,
+                                        apm_frames=apm_frames)
         c = dict(c); uc = dict(uc)
         c["ctrl_frames"] = ctrl_frames
         uc["ctrl_frames"] = ctrl_frames
@@ -124,10 +126,21 @@ class Stage1Pipeline:
         z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample)
         return self._decode_with(vae_params, z)
 
-    def _conditioning_with(self, cond_params, anchor_frame, key, num_frames):
+    def _conditioning_with(self, cond_params, anchor_frame, key, num_frames,
+                           apm_frames=None):
         m = self.models
         batch = self._build_batch(anchor_frame, key)
         c, uc = m.conditioner.apply(cond_params, batch, method=Conditioner.pair)
+        if apm_frames is not None:
+            # 16+1 APM context: [SVD pooled token ‖ anchor-frame tokens]
+            # (reference attention.py:604; uc stays forced-zero)
+            tokens = m.conditioner.apply(cond_params, apm_frames,
+                                         method=Conditioner.encode_frames)
+            c = dict(c)
+            uc = dict(uc)
+            c["crossattn"] = jnp.concatenate([c["crossattn"], tokens], axis=1)
+            uc["crossattn"] = jnp.concatenate(
+                [uc["crossattn"], jnp.zeros_like(tokens)], axis=1)
         return broadcast_cond(c, num_frames), broadcast_cond(uc, num_frames)
 
     def _decode_with(self, vae_params, z):
@@ -162,13 +175,27 @@ class Stage1Pipeline:
         )
         chunks: List[jax.Array] = [chunk0]
         anchor = chunk0[:, inf.anchor_frames]  # frame 6 of chunk 0, fixed
+        use_apm = cfg.unet.use_apm
         for g in range(n_gen):
             ctrl = chunks[-1][:, -inf.num_conditional_frames:]
             key = generation_key(seed, g + 1, inf.reset_seed_per_generation)
-            result = self._stream_chunk_fn(
-                m.unet_params, m.controlnet_params, m.vae_params,
-                m.conditioner_params, anchor, ctrl, key,
-            )
+            if use_apm:
+                # appearance anchors from the so-far video (reference
+                # extract_anchor_frames on cat(result_chunks),
+                # streaming_svd.py:320-323); pad by repetition if short
+                a, b = inf.apm_anchor_frames
+                so_far = jnp.concatenate(chunks, axis=1)
+                idx = jnp.arange(a, b) % so_far.shape[1]
+                apm_frames = so_far[:, idx]
+                result = self._stream_chunk_fn(
+                    m.unet_params, m.controlnet_params, m.vae_params,
+                    m.conditioner_params, anchor, ctrl, key, apm_frames,
+                )
+            else:
+                result = self._stream_chunk_fn(
+                    m.unet_params, m.controlnet_params, m.vae_params,
+                    m.conditioner_params, anchor, ctrl, key,
+                )
             chunks.append(result[:, inf.num_conditional_frames:])
         video = jnp.concatenate(chunks, axis=1)[0]
         return video[:target]

@@ -85,17 +85,78 @@ def resize_video(video: np.ndarray, height: int, width: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# mp4 export
+# farancia IImage geometry ops (iimage.py:42-511 — the subset the pipeline
+# and its users exercise: pad / crop / stack / grid)
+# ---------------------------------------------------------------------------
+
+def _as_video(x: np.ndarray) -> np.ndarray:
+    """Accept (H, W, C) images or (F, H, W, C) videos; return 4D."""
+    return x[None] if x.ndim == 3 else x
+
+
+def pad(video: np.ndarray, top: int = 0, bottom: int = 0, left: int = 0,
+        right: int = 0, mode: str = "constant", value: int = 0) -> np.ndarray:
+    """Spatial padding (IImage.pad).  mode: numpy pad mode ('constant',
+    'edge', 'reflect')."""
+    v = _as_video(video)
+    widths = ((0, 0), (top, bottom), (left, right), (0, 0))
+    if mode == "constant":
+        out = np.pad(v, widths, mode="constant", constant_values=value)
+    else:
+        out = np.pad(v, widths, mode=mode)
+    return out if video.ndim == 4 else out[0]
+
+
+def crop(video: np.ndarray, x0: int, y0: int, width: int, height: int) -> np.ndarray:
+    """Spatial crop (IImage.crop): box given as left, top, width, height."""
+    v = _as_video(video)
+    out = v[:, y0 : y0 + height, x0 : x0 + width]
+    return out if video.ndim == 4 else out[0]
+
+
+def hstack(items: Sequence[np.ndarray]) -> np.ndarray:
+    """Side-by-side concat (IImage `|`); heights must match."""
+    vs = [_as_video(v) for v in items]
+    return np.concatenate(vs, axis=2)
+
+
+def vstack(items: Sequence[np.ndarray]) -> np.ndarray:
+    """Top-to-bottom concat (IImage `__truediv__`); widths must match."""
+    vs = [_as_video(v) for v in items]
+    return np.concatenate(vs, axis=1)
+
+
+def grid(items: Sequence[np.ndarray], cols: int) -> np.ndarray:
+    """Tile images/videos into a grid (IImage.grid), row-major; the list is
+    padded with black tiles to fill the last row."""
+    vs = [_as_video(v) for v in items]
+    shape = vs[0].shape
+    assert all(v.shape == shape for v in vs), [v.shape for v in vs]
+    rows = -(-len(vs) // cols)
+    vs = vs + [np.zeros(shape, vs[0].dtype)] * (rows * cols - len(vs))
+    return vstack([hstack(vs[r * cols : (r + 1) * cols]) for r in range(rows)])
+
+
+# ---------------------------------------------------------------------------
+# mp4 / y4m export
 # ---------------------------------------------------------------------------
 
 def save_video(path: str, video: np.ndarray, fps: int = 24) -> str:
-    """video: (F, H, W, 3) uint8 RGB -> mp4 (OpenCV, mp4v codec)."""
-    import cv2
+    """video: (F, H, W, 3) uint8 RGB.
 
+    .mp4 -> OpenCV VideoWriter (mp4v); .y4m -> the native async media
+    feeder when built (zero-copy, encode overlaps compute), else a plain
+    Python Y4M writer.
+    """
     assert video.dtype == np.uint8 and video.ndim == 4 and video.shape[-1] == 3, (
         video.dtype, video.shape
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    if path.endswith(".y4m"):
+        return _save_y4m(path, video, fps)
+
+    import cv2
+
     f, h, w, _ = video.shape
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     if not writer.isOpened():
@@ -104,6 +165,50 @@ def save_video(path: str, video: np.ndarray, fps: int = 24) -> str:
         writer.write(frame[:, :, ::-1])  # RGB -> BGR
     writer.release()
     return path
+
+
+def _save_y4m(path: str, video: np.ndarray, fps: int) -> str:
+    from streamingt2v_tpu import native
+
+    f, h, w, _ = video.shape
+    if native.available():
+        with native.AsyncVideoWriter(path, w, h, fps=fps) as writer:
+            writer.write(video)
+        return path
+    # pure-Python fallback: BT.601 RGB->YUV420 planar, matching the native
+    # feeder's C420jpeg output (media_feeder.cpp:110)
+    with open(path, "wb") as fh:
+        fh.write(f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode())
+        rgb = video.astype(np.float32)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        for i in range(f):
+            fh.write(b"FRAME\n")
+            fh.write(np.clip(np.round(yy[i]), 0, 255).astype(np.uint8).tobytes())
+            for plane in (u[i], v[i]):
+                sub = plane.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                fh.write(np.clip(np.round(sub), 0, 255).astype(np.uint8).tobytes())
+    return path
+
+
+def video_fps(path: str) -> float:
+    """fps metadata of a saved container (mp4 via OpenCV; y4m via header)."""
+    if path.endswith(".y4m"):
+        with open(path, "rb") as fh:
+            header = fh.readline().decode()
+        for tok in header.split():
+            if tok.startswith("F"):
+                num, den = tok[1:].split(":")
+                return float(num) / float(den)
+        raise ValueError(f"no fps token in y4m header: {header!r}")
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    cap.release()
+    return float(fps)
 
 
 def load_video(path: str) -> np.ndarray:

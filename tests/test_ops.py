@@ -146,3 +146,23 @@ def test_fused_group_norm_matches_reference():
     out_s = fused_group_norm(x, scale, bias, num_groups=8, eps=1e-5, act="silu", interpret=True)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s).reshape(3, 48, 64),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fused_geglu_ff_matches_reference():
+    """Fused GEGLU FF kernel (interpret mode) == the plain jnp composition,
+    including inner-dim padding and row padding."""
+    import numpy as np
+
+    from streamingt2v_tpu.ops.fused_ff import geglu_ff
+
+    rng = np.random.RandomState(0)
+    for n, c, inner, c_out in [(70, 48, 128, 48), (300, 32, 160, 32)]:
+        x = jnp.asarray(rng.randn(n, c), jnp.float32)
+        w1 = jnp.asarray(rng.randn(c, 2 * inner) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.randn(2 * inner) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.randn(inner, c_out) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.randn(c_out) * 0.1, jnp.float32)
+        out = geglu_ff(x, w1, b1, w2, b2, block_n=64, block_i=128, interpret=True)
+        a, b = jnp.split(x @ w1 + b1, 2, axis=-1)
+        ref = (a * jax.nn.gelu(b, approximate=False)) @ w2 + b2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

@@ -68,3 +68,26 @@ def test_pipeline_on_mesh_matches_single_device(pipeline):
     sharded = build_pipeline(PipelineConfig.tiny(), seed=0, mesh=mesh)
     out = sharded.image_to_video(img, num_frames=5, seed=3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+def test_image_to_video_with_apm():
+    """use_apm end-to-end: the conditioner emits 16+1 CLIP tokens from the
+    so-far-video anchor frames, the UNet's APM mixer consumes them, and
+    generation still produces the right frame count."""
+    import dataclasses
+
+    from streamingt2v_tpu.config import PipelineConfig
+    from streamingt2v_tpu.pipeline.build import build_pipeline
+
+    cfg = PipelineConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        unet=dataclasses.replace(cfg.unet, use_apm=True),
+        inference=dataclasses.replace(cfg.inference, apm_anchor_frames=(0, 3)),
+    )
+    pipe = build_pipeline(cfg, seed=0)
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
+    video = pipe.image_to_video(image, num_frames=8, seed=1)
+    assert video.shape == (8, cfg.height, cfg.width, 3)
+    assert np.isfinite(np.asarray(video)).all()

@@ -1403,3 +1403,41 @@ def test_motionformer_block_golden():
                                atol=3e-5, rtol=3e-5)
     np.testing.assert_allclose(np.asarray(out_m), ref_m.detach().numpy(),
                                atol=3e-5, rtol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# APM context mixer: Conv1d(17->1, k3 same) over the embedding axis + LN +
+# silu(alpha)-gated add onto the SVD token (attention.py:596-620)
+# ---------------------------------------------------------------------------
+
+def test_apm_context_mixer_golden():
+    tokens, d = 17, 32
+
+    class TorchAPM(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.apm_conv = tnn.Conv1d(tokens, 1, kernel_size=3, padding="same")
+            self.apm_ln = tnn.LayerNorm(d)
+            self.apm_alpha = tnn.Parameter(torch.tensor(0.37))
+
+        def forward(self, context):
+            context_svd = context[:, :1]
+            mixed = self.apm_ln(self.apm_conv(context))
+            return context_svd + mixed * F.silu(self.apm_alpha)
+
+    tm = TorchAPM().eval()
+    ctx = torch.randn(2, tokens, d)
+    ref = tm(ctx).detach().numpy()
+
+    from streamingt2v_tpu.models.unet_blocks import APMContextMixer
+
+    params = {"params": {
+        # flax Conv over the embedding axis: kernel (k, in_ch=tokens, out=1)
+        "apm_conv": {"kernel": jnp.asarray(
+            tm.apm_conv.weight.detach().numpy().transpose(2, 1, 0)),
+            "bias": _j(tm.apm_conv.bias)},
+        "apm_ln_scale": _j(tm.apm_ln.weight), "apm_ln_bias": _j(tm.apm_ln.bias),
+        "apm_alpha": _j(tm.apm_alpha),
+    }}
+    out = APMContextMixer().apply(params, _j(ctx))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
