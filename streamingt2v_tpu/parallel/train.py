@@ -26,12 +26,18 @@ def make_train_step(
     loss_cfg: DiffusionLossConfig,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    skip_nonfinite: bool = False,
 ):
     """Build `step(params, opt_state, batch, key) -> (params, opt_state, loss)`.
 
     `network_builder(params)` returns the denoiser-facing network fn (e.g.
     an `openai_wrapper` / `streaming_wrapper` closure over modules).
     `batch` = {'latents': (B, T, H, W, C), 'cond': {...}}.
+
+    `skip_nonfinite` arms the on-device failure guard
+    (utils.resilience.nonfinite_guard): a step whose gradients contain
+    NaN/Inf applies a zero update instead of corrupting the params, and the
+    returned loss is NaN-preserved so monitoring still sees the event.
     """
 
     def loss_fn(params, batch, key):
@@ -43,7 +49,20 @@ def make_train_step(
     @jax.jit
     def step(params, opt_state, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        if skip_nonfinite:
+            from streamingt2v_tpu.utils.resilience import nonfinite_guard
+
+            grads, ok = nonfinite_guard(grads)
+            new_updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            # freeze the optimizer state too on a skipped step (momentum/
+            # count must not advance on a zero update)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_opt_state, opt_state
+            )
+            updates = jax.tree.map(lambda u: jnp.where(ok, u, jnp.zeros_like(u)),
+                                   new_updates)
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

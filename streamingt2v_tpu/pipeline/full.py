@@ -41,11 +41,27 @@ class StreamingT2VPipeline:
 
     def image_to_video(self, image_u8: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
         """uint8 (H, W, 3) -> uint8 stage-1 video ((num_frames+1)//2, 576, 1024, 3)."""
+        from streamingt2v_tpu.utils.resilience import (
+            decode_chunk_ladder,
+            with_oom_fallback,
+        )
+
         cfg = self.cfg
         img = media.resize_to_stage1(image_u8, cfg.height, cfg.width)
+        x = jnp.asarray(media.to_model_range(img))
+        # OOM degradation ladder: retry with halved VAE decode chunks
+        # (the TPU counterpart of the reference's static use_memopt flag,
+        # inference_i2v.py:143-145) instead of dying on the first OOM.
+        pipes = [self.stage1] + [
+            self.stage1.with_decode_chunk(c)
+            for c in decode_chunk_ladder(cfg.inference.decode_chunk_size // 2)
+        ]
         with stage_timer("stage1_i2v"):
-            video = self.stage1.image_to_video(
-                jnp.asarray(media.to_model_range(img)), cfg.stage1_frames, seed
+            video = with_oom_fallback(
+                *[
+                    (lambda p=p: p.image_to_video(x, cfg.stage1_frames, seed))
+                    for p in pipes
+                ]
             )
         return media.to_uint8(np.asarray(video))
 

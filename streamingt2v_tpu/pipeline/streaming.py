@@ -153,6 +153,19 @@ class Stage1Pipeline:
                                     method=AutoencoderKL.decode))
         return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
 
+    # ---------- degradation (utils.resilience OOM ladder) ----------
+
+    def with_decode_chunk(self, decode_chunk_size: int) -> "Stage1Pipeline":
+        """A copy of this pipeline with a smaller VAE decode chunk — the
+        next rung of the OOM degradation ladder (re-jits on first use)."""
+        cfg = dataclasses.replace(
+            self.cfg,
+            inference=dataclasses.replace(
+                self.cfg.inference, decode_chunk_size=decode_chunk_size
+            ),
+        )
+        return Stage1Pipeline(cfg, self.models)
+
     # ---------- public API ----------
 
     def image_to_video(self, image: jax.Array, num_frames: Optional[int] = None,

@@ -20,13 +20,24 @@ from typing import Optional
 import jax
 
 
-def resolve_ckpt(local_path: str, global_hint: str = "") -> str:
-    """Local-first checkpoint resolution (no network in this environment)."""
+def resolve_ckpt(local_path: str, global_hint: str = "",
+                 url: Optional[str] = None) -> str:
+    """Local-first checkpoint resolution.
+
+    When the file is absent and a `url` is known, the fetch is GATED on
+    STREAMINGT2V_AUTO_FETCH=1 (replaces reference download_ckpt's always-on
+    gdown/HF download, utils/loader.py:18-52) — zero-egress environments
+    get a precise error instead of a hang."""
     if os.path.exists(local_path):
         return local_path
+    if url and os.environ.get("STREAMINGT2V_AUTO_FETCH") == "1":
+        from streamingt2v_tpu.utils.resilience import fetch_file
+
+        return fetch_file(url, local_path)
     raise FileNotFoundError(
         f"checkpoint not found at {local_path}. Download it out-of-band"
         + (f" (reference source: {global_hint})" if global_hint else "")
+        + (f" or set STREAMINGT2V_AUTO_FETCH=1 to fetch {url}" if url else "")
     )
 
 
@@ -39,6 +50,7 @@ def load_stage1_checkpoints(stage1, ckpt_dir: str):
     path = resolve_ckpt(
         os.path.join(ckpt_dir, "streamingsvd", "model.safetensors"),
         "PAIR/StreamingSVD/resolve/main/model.safetensors",
+        url="https://huggingface.co/PAIR/StreamingSVD/resolve/main/model.safetensors",
     )
     sd = ck.load_torch_file(path)
     m = stage1.models

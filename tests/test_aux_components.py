@@ -251,3 +251,187 @@ def test_mawe_metric():
     # flickering video under zero flow scores worse than the coherent one
     flicker = jnp.asarray(rng.rand(5, 24, 32, 3).astype(np.float32))
     assert float(mawe(flicker, true_flow)) > float(m)
+
+
+# ---------------------------------------------------------------------------
+# failure detection / retry / degradation (utils.resilience)
+# ---------------------------------------------------------------------------
+
+def test_retry_succeeds_after_transient_failures():
+    from streamingt2v_tpu.utils.resilience import retry
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert retry(flaky, attempts=3, backoff=0.0) == "ok"
+    assert len(calls) == 3
+
+
+def test_retry_exhaustion_propagates_last_error():
+    import pytest
+    from streamingt2v_tpu.utils.resilience import retry
+
+    with pytest.raises(OSError, match="always"):
+        retry(lambda: (_ for _ in ()).throw(OSError("always")),
+              attempts=2, backoff=0.0)
+
+
+def test_retry_does_not_catch_unlisted_exceptions():
+    import pytest
+    from streamingt2v_tpu.utils.resilience import retry
+
+    calls = []
+
+    def broken():
+        calls.append(1)
+        raise ValueError("logic bug")
+
+    with pytest.raises(ValueError):
+        retry(broken, attempts=3, backoff=0.0)
+    assert len(calls) == 1  # no retry on non-IO errors
+
+
+def test_is_oom_detection():
+    from streamingt2v_tpu.utils.resilience import is_oom
+
+    assert is_oom(RuntimeError("RESOURCE_EXHAUSTED: Out of memory in HBM"))
+    assert is_oom(RuntimeError("Allocator ran OOM trying to allocate"))
+    assert not is_oom(ValueError("shape mismatch"))
+
+
+def test_with_oom_fallback_degrades_then_succeeds():
+    from streamingt2v_tpu.utils.resilience import with_oom_fallback
+
+    def oom():
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    assert with_oom_fallback(oom, lambda: 42) == 42
+
+
+def test_with_oom_fallback_propagates_non_oom():
+    import pytest
+    from streamingt2v_tpu.utils.resilience import with_oom_fallback
+
+    def bug():
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        with_oom_fallback(bug, lambda: 42)
+
+
+def test_decode_chunk_ladder():
+    from streamingt2v_tpu.utils.resilience import decode_chunk_ladder
+
+    assert decode_chunk_ladder(14) == [14, 7, 3, 1]
+    assert decode_chunk_ladder(1) == [1]
+
+
+def test_check_finite_reports_leaf_paths():
+    import jax.numpy as jnp
+    import pytest
+    from streamingt2v_tpu.utils.resilience import NonFiniteError, check_finite
+
+    good = {"a": jnp.ones((2,)), "b": {"c": jnp.zeros((3,))}}
+    check_finite(good, "good")
+    bad = {"a": jnp.ones((2,)), "b": {"c": jnp.array([1.0, jnp.nan])}}
+    with pytest.raises(NonFiniteError, match="c"):
+        check_finite(bad, "bad")
+
+
+def test_nonfinite_guard_zeroes_bad_updates():
+    import jax.numpy as jnp
+    import numpy as np
+    from streamingt2v_tpu.utils.resilience import nonfinite_guard
+
+    good = {"w": jnp.ones((2, 2))}
+    g, ok = nonfinite_guard(good)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(g["w"]), np.ones((2, 2)))
+
+    bad = {"w": jnp.array([[1.0, jnp.inf], [0.0, 0.0]])}
+    g, ok = nonfinite_guard(bad)
+    assert not bool(ok)
+    np.testing.assert_array_equal(np.asarray(g["w"]), np.zeros((2, 2)))
+
+
+def test_train_step_skip_nonfinite_freezes_state():
+    """A poisoned batch (NaN latents) must leave params and optimizer state
+    bit-identical under skip_nonfinite=True."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from streamingt2v_tpu.diffusion.loss import DiffusionLossConfig
+    from streamingt2v_tpu.parallel.train import make_train_step
+
+    def net_builder(params):
+        def net(x, t, cond):
+            return x * params["w"]
+        return net
+
+    params = {"w": jnp.float32(1.5)}
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(net_builder, DiffusionLossConfig(), opt,
+                           skip_nonfinite=True)
+    batch_ok = {"latents": jnp.ones((1, 2, 4, 4, 4)), "cond": {}}
+    batch_bad = {"latents": jnp.full((1, 2, 4, 4, 4), jnp.nan), "cond": {}}
+
+    p1, s1, loss1 = step(params, opt_state, batch_ok, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss1))
+    assert float(p1["w"]) != 1.5  # good step applied
+
+    p2, s2, loss2 = step(p1, s1, batch_bad, jax.random.PRNGKey(1))
+    assert not np.isfinite(float(loss2))  # monitoring sees the NaN
+    assert float(p2["w"]) == float(p1["w"])  # params frozen
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fetch_file_offline_error_and_local_gating(tmp_path):
+    import os
+    import pytest
+    from streamingt2v_tpu.utils.loader import resolve_ckpt
+    from streamingt2v_tpu.utils.resilience import FetchError, fetch_file
+
+    # fetch from an unreachable URL -> FetchError with guidance
+    with pytest.raises(FetchError, match="out-of-band"):
+        fetch_file("http://127.0.0.1:1/nothing", str(tmp_path / "x.bin"),
+                   attempts=1, timeout=0.2)
+
+    # resolve_ckpt without the env gate never touches the network
+    with pytest.raises(FileNotFoundError, match="AUTO_FETCH"):
+        resolve_ckpt(str(tmp_path / "missing.safetensors"), "hint",
+                     url="http://127.0.0.1:1/nothing")
+
+    # local file wins regardless
+    p = tmp_path / "there.bin"
+    p.write_bytes(b"x")
+    assert resolve_ckpt(str(p), url="http://127.0.0.1:1/nothing") == str(p)
+
+
+def test_fetch_file_sha256_verification(tmp_path):
+    import hashlib
+    import pytest
+    from streamingt2v_tpu.utils.resilience import FetchError, fetch_file
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"payload")
+    url = "file://" + str(src)
+    dest = tmp_path / "dst.bin"
+    good = hashlib.sha256(b"payload").hexdigest()
+    assert fetch_file(url, str(dest), sha256=good) == str(dest)
+    assert dest.read_bytes() == b"payload"
+    with pytest.raises(FetchError, match="sha256"):
+        fetch_file(url, str(tmp_path / "dst2.bin"), sha256="0" * 64)
+
+
+def test_stage1_oom_ladder_rejits_with_smaller_decode_chunk():
+    from streamingt2v_tpu.pipeline.streaming import Stage1Pipeline
+
+    assert Stage1Pipeline.with_decode_chunk is not None  # structural

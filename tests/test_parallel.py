@@ -152,3 +152,78 @@ def test_sharded_inference_matches_single_device():
         cond_s = {k: jax.device_put(v, batch_sh) for k, v in cond.items()}
         out = jax.jit(step)(up_s, cp_s, x_s, jax.device_put(sigma, batch_sh), cond_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) substrate
+# ---------------------------------------------------------------------------
+
+def test_multihost_initialize_single_process_noop():
+    from streamingt2v_tpu.parallel import initialize
+
+    initialize()  # no coordinator configured -> must not raise
+    assert jax.process_count() == 1
+
+
+def test_multihost_mesh_single_granule_matches_create_mesh():
+    from streamingt2v_tpu.parallel import create_multihost_mesh
+
+    cfg = MeshConfig(data=4, seq=1, model=2)
+    m1 = create_multihost_mesh(cfg)
+    m2 = create_mesh(cfg)
+    assert m1.shape == m2.shape
+    assert [d.id for d in m1.devices.flat] == [d.id for d in m2.devices.flat]
+
+
+def test_multihost_mesh_granule_major_data_axis():
+    """Simulated 2-granule topology: the data axis must change granule only
+    at the DCN boundary (granule-major), so per-layer seq/model collectives
+    never cross granules."""
+    from streamingt2v_tpu.parallel import create_multihost_mesh
+
+    devices = jax.devices()[:8]
+    mesh = create_multihost_mesh(
+        MeshConfig(data=4, seq=1, model=2), devices=devices, num_granules=2
+    )
+    arr = mesh.devices  # (4, 1, 2)
+    granule_of = {d.id: (0 if i < 4 else 1) for i, d in enumerate(devices)}
+    rows = [granule_of[d.id] for d in arr[:, 0, 0]]
+    assert rows == sorted(rows), rows  # data-major granule blocks
+    # seq/model neighbors stay inside one granule
+    for i in range(4):
+        g = {granule_of[d.id] for d in arr[i].flat}
+        assert len(g) == 1, (i, g)
+
+
+def test_multihost_mesh_rejects_model_over_dcn():
+    from streamingt2v_tpu.parallel import create_multihost_mesh
+
+    with pytest.raises(ValueError, match="DCN granule"):
+        create_multihost_mesh(
+            MeshConfig(data=1, seq=1, model=8),
+            devices=jax.devices()[:8], num_granules=2,
+        )
+
+
+def test_process_batch_slice_covers_full_batch():
+    from streamingt2v_tpu.parallel import create_multihost_mesh, process_batch_slice
+
+    mesh = create_multihost_mesh(MeshConfig(data=4, seq=1, model=2))
+    sl = process_batch_slice(mesh, 16)
+    assert (sl.start, sl.stop) == (0, 16)  # single process owns everything
+
+
+def test_global_batch_from_local_roundtrip():
+    from streamingt2v_tpu.parallel import (
+        create_multihost_mesh,
+        global_batch_from_local,
+        process_batch_slice,
+    )
+
+    mesh = create_multihost_mesh(MeshConfig(data=4, seq=1, model=2))
+    global_batch = 8
+    data = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    sl = process_batch_slice(mesh, global_batch)
+    arr = global_batch_from_local(mesh, data[sl], global_batch)
+    assert arr.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(arr), data)
