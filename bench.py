@@ -124,7 +124,7 @@ def bench_denoise() -> None:
 
     @jax.jit
     def k_steps(uparams, cparams, x0, cond):
-        net = streaming_wrapper(unet, uparams, cn, cparams, FC)
+        net = streaming_wrapper(unet, uparams, cn, cparams, FC, ctrl_cfg_shared=True)
 
         def body(xc, i):
             sigma = jnp.full((B,), 2.0) / (1.0 + 0.1 * i)

@@ -57,9 +57,11 @@ def timeit(name, fn, *args, k=4):
     def chained(x0, rest):
         def body(x, _):
             out = fn(x, *rest)
-            # keep shapes: fold output back into the carry
-            return (x0 * 0.5 + 0.5 * out.reshape(x0.shape)[: x0.shape[0]]
-                    if out.shape != x0.shape else out), None
+            if out.shape == x0.shape:
+                return out, None
+            # shape-changing module: perturb the carry with a scalar of the
+            # output so every iteration still depends on the previous one
+            return x * 0.5 + out.reshape(-1)[0].astype(x.dtype), None
 
         out, _ = jax.lax.scan(body, x0, jnp.arange(k))
         return out.reshape(-1)[0]

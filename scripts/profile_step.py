@@ -51,7 +51,7 @@ def build_step():
 
     @jax.jit
     def step(uparams, cparams, x0, cond):
-        net = streaming_wrapper(unet, uparams, cn, cparams, FC)
+        net = streaming_wrapper(unet, uparams, cn, cparams, FC, ctrl_cfg_shared=True)
         sigma = jnp.full((B,), 2.0)
         den = denoise(net, jnp.concatenate([x0, x0], 0), sigma, cond)
         return den[:1] * 0.05 + x0 * 0.95

@@ -118,6 +118,10 @@ class ControlNet(nn.Module):
             else SpatialVideoTransformer
         )
 
+        # controlnet_cond may carry FEWER batch rows than x (the streaming
+        # wrapper passes one copy when the CFG halves share identical ctrl
+        # frames — the embedder is context-free, so computing it per-half
+        # is pure waste); broadcast the embedding up to x's batch.
         cond_embed = spatial(
             controlnet_cond.astype(dtype),
             ControlNetConditioningEmbedding(
@@ -128,6 +132,12 @@ class ControlNet(nn.Module):
                 name="cond_embedding",
             ),
         )
+        if cond_embed.shape[0] != b:
+            assert b % cond_embed.shape[0] == 0, (b, cond_embed.shape)
+            cond_embed = jnp.tile(
+                cond_embed,
+                (b // cond_embed.shape[0],) + (1,) * (cond_embed.ndim - 1),
+            )
 
         hs = []
         h = spatial(x, nn.Conv(ucfg.model_channels, (3, 3), name="in_conv"))

@@ -112,6 +112,21 @@ class CrossAttention(nn.Module):
     def __call__(self, x, context=None, pre=None, post=None):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
+
+        if context is not None and context.shape[1] == 1 and pre is None:
+            # Single-kv-token cross attention (the SVD pooled-CLIP context,
+            # use_spatial_context with L=1): softmax over one key is exactly
+            # 1.0, so the attention output IS v for every query — computing
+            # q, the (Lq, 1) scores, and the broadcasted p@v is pure waste
+            # (~8 ms/step at the production geometry, scripts/bench_blocks).
+            # to_q/to_k params are still materialized (checkpoint parity);
+            # their 1-token applications are dead code XLA eliminates.
+            nn.Dense(inner, use_bias=False, name="to_q")(x[:, :1])
+            nn.Dense(inner, use_bias=False, name="to_k")(ctx[:, :1])
+            v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+            out = nn.Dense(x.shape[-1], name="to_out")(v)  # (B, 1, C)
+            return jnp.broadcast_to(out, x.shape[:2] + (out.shape[-1],))
+
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
@@ -349,6 +364,10 @@ class TemporalUNetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
+        # NOTE(perf): a (kt,1,1) conv expressed as kt shifted matmuls was
+        # measured 3.5x SLOWER than XLA's conv lowering here (26.7 vs 7.7
+        # ms at level 0) — the shifted-output concats never fuse.  The
+        # conv stays a conv; see docs/PERF.md "what was tried".
         c = x.shape[-1]
         s1, b1 = _gn_params(self, "in_norm", c)
         h = group_norm(x, s1, b1, eps=1e-5, act="silu")

@@ -48,8 +48,14 @@ def streaming_wrapper(
     controlnet_params,
     num_frame_conditioning: int,
     mesh=None,
+    ctrl_cfg_shared: bool = False,
 ):
-    """StreamingSVD wrapper: ControlNet on conditional frames + CAM fusion."""
+    """StreamingSVD wrapper: ControlNet on conditional frames + CAM fusion.
+
+    `ctrl_cfg_shared`: the CFG halves carry identical ctrl pixel frames
+    (true for the inference pipeline — streaming.py sets the same tensor on
+    c and uc), so the context-free conditioning embedder runs on one copy
+    and is tiled inside the ControlNet."""
     from streamingt2v_tpu.parallel.sharding import active_mesh
 
     f_cond = num_frame_conditioning
@@ -61,6 +67,8 @@ def streaming_wrapper(
         context = cond.get("crossattn")
         y = cond.get("vector")
         ctrl_frames = cond["ctrl_frames"]  # (B', F_cond, H*8, W*8, 3)
+        if ctrl_cfg_shared and ctrl_frames.shape[0] > 1:
+            ctrl_frames = ctrl_frames[:1]
 
         # ControlNet sees only the conditional frames; context stripped to
         # the first token (APM tokens removed, wrappers.py:39-40).

@@ -48,6 +48,53 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+NEG_INF_MASK = -1e30
+
+# Tiny-L attention (temporal T=25, CAM T=25/kv=7): a batched matmul of
+# (25, 64) @ (64, 25) pads both score dims to the 128-wide MXU tile and
+# runs at <1 TFLOP/s effective (measured 15.8 ms for the level-0 temporal
+# geometry).  Below this length, queries of G = 128 // Lq attention rows
+# are PACKED into one tile with a block-diagonal mask — exp(-inf) = 0
+# makes cross-row score entries contribute nothing, so the math is exact
+# while the matmul becomes MXU-shaped (measured ~4x faster).
+_GROUP_MAX_LEN = 64
+
+
+def _grouped_tiny_attention(qf: jax.Array, kf: jax.Array, vf: jax.Array) -> jax.Array:
+    """Exact attention for (B, Lq, D) with tiny Lq/Lk via tile packing.
+
+    B folds batch*heads.  Rows i of tile-member g attend only keys of the
+    same member: additive mask M[(g i), (g' j)] = 0 if g == g' else -inf.
+    P @ V then sums masked (zero) terms for foreign keys — exact.
+    """
+    b, lq, d = qf.shape
+    _, lk, _ = kf.shape
+    g = max(1, 128 // max(lq, lk))
+    pad = (-b) % g
+    if pad:
+        qf = jnp.pad(qf, ((0, pad), (0, 0), (0, 0)))
+        kf = jnp.pad(kf, ((0, pad), (0, 0), (0, 0)))
+        vf = jnp.pad(vf, ((0, pad), (0, 0), (0, 0)))
+    n = qf.shape[0] // g
+    qg = qf.reshape(n, g * lq, d)
+    kg = kf.reshape(n, g * lk, d)
+    vg = vf.reshape(n, g * lk, d)
+
+    # block-diagonal additive mask, built once as a compile-time constant
+    qi = jnp.arange(g * lq) // lq
+    kj = jnp.arange(g * lk) // lk
+    mask = jnp.where(qi[:, None] == kj[None, :], 0.0, NEG_INF_MASK)
+
+    scale = d ** -0.5
+    s = jnp.einsum(
+        "nqd,nkd->nqk", qg, vg.dtype.type(scale) * kg.astype(vg.dtype)
+    ).astype(jnp.float32)
+    p = jax.nn.softmax(s + mask, axis=-1)
+    o = jnp.einsum("nqk,nkd->nqd", p.astype(vg.dtype), vg)
+    o = o.reshape(n * g, lq, d)
+    return o[:b] if pad else o
+
+
 def _flash_sharded(qf: jax.Array, kf: jax.Array, vf: jax.Array, mesh) -> jax.Array:
     """Run the Pallas flash kernel under `shard_map` over the folded
     (batch*heads) axis so GSPMD does not replicate the custom kernel:
@@ -117,6 +164,19 @@ def attention(
         else:
             o = flash_attention(qf, kf, vf)
         o = o.reshape(b, num_heads, lq, d)
+    elif (
+        lq <= _GROUP_MAX_LEN
+        and lk <= _GROUP_MAX_LEN
+        and b * num_heads >= 256
+        and backend != "xla"
+    ):
+        qf = qh.reshape(b * num_heads, lq, d)
+        kf = kh.reshape(b * num_heads, lk, d)
+        vf = vh.reshape(b * num_heads, lk, d)
+        qf = shard(qf, "batch", None, None)
+        kf = shard(kf, "batch", None, None)
+        vf = shard(vf, "batch", None, None)
+        o = _grouped_tiny_attention(qf, kf, vf).reshape(b, num_heads, lq, d)
     else:
         qh = shard(qh, "batch", "heads", "tokens", None)
         kh = shard(kh, "batch", "heads", None, None)

@@ -91,20 +91,41 @@ _VMEM_BUDGET = 11 * 1024 * 1024
 
 def _budget_blocks(c: int, c_out: int, dsize: int,
                    max_n: int, max_i: int) -> tuple:
-    """Largest (block_n, block_i) whose double-buffered blocks + f32
-    accumulator + (bn, bi) f32 temporaries fit the scoped-VMEM budget."""
+    """Pick (block_n, block_i) minimizing modeled HBM traffic under the
+    scoped-VMEM budget.
+
+    Traffic model (Mosaic skips re-fetching a block whose index is
+    unchanged between consecutive grid steps; the inner grid axis is i):
+      x:       fetched once per n block (index constant across the i sweep)
+      weights: fetched every step when ii > 1 (index changes each step);
+               fetched ONCE total when ii == 1 (index always (0, i)) —
+               which is why a full-inner block (ii=1) wins whenever the
+               whole W1/W2 pair + f32 temporaries fit VMEM (true at the
+               320-channel level-0 geometry: 2.4 MB of weights vs 1.1 GB
+               of per-step refetches with ii=4)."""
+    inner_full = -(-max_i // 128) * 128
     best = (128, 128)
-    best_score = -1
+    best_traffic = None
     for bn in (1024, 512, 256, 128):
-        if bn > max(max_n, 128):
+        if bn > max(-(-max_n // 8) * 8, 128):
             continue
-        for bi in (1024, 512, 256, 128):
-            if bi > max(max_i, 128):
+        for bi in dict.fromkeys((inner_full, 1024, 512, 256, 128)):
+            if bi > inner_full:
                 continue
             est = (2 * dsize * (bn * c + 2 * c * bi + bi * c_out + bn * c_out)
                    + 4 * bn * c_out + 12 * bn * bi)
-            if est <= _VMEM_BUDGET and bn * bi > best_score:
-                best, best_score = (bn, bi), bn * bi
+            if est > _VMEM_BUDGET:
+                continue
+            nn_ = -(-max_n // bn)
+            ii = -(-inner_full // bi)
+            w_bytes = (2 * c * bi + bi * c_out) * dsize
+            x_bytes = bn * c * dsize
+            out_bytes = bn * c_out * dsize
+            traffic = nn_ * x_bytes + nn_ * out_bytes + (
+                nn_ * ii * w_bytes if ii > 1 else w_bytes
+            )
+            if best_traffic is None or traffic < best_traffic:
+                best, best_traffic = (bn, bi), traffic
     return best
 
 

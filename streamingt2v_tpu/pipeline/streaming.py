@@ -122,7 +122,8 @@ class Stage1Pipeline:
         c = dict(c); uc = dict(uc)
         c["ctrl_frames"] = ctrl_frames
         uc["ctrl_frames"] = ctrl_frames
-        net = streaming_wrapper(m.unet, unet_params, m.controlnet, cn_params, f_cond)
+        net = streaming_wrapper(m.unet, unet_params, m.controlnet, cn_params, f_cond,
+                                ctrl_cfg_shared=True)
         z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample)
         return self._decode_with(vae_params, z)
 

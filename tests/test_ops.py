@@ -166,3 +166,63 @@ def test_fused_geglu_ff_matches_reference():
         a, b = jnp.split(x @ w1 + b1, 2, axis=-1)
         ref = (a * jax.nn.gelu(b, approximate=False)) @ w2 + b2
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_grouped_tiny_attention_matches_plain():
+    """The packed block-diagonal tiny-L path must match plain softmax
+    attention exactly (exp(-inf)=0 kills cross-member terms)."""
+    from streamingt2v_tpu.ops.attention import (
+        _grouped_tiny_attention,
+        dot_product_attention,
+    )
+
+    rng = np.random.RandomState(0)
+    for b, lq, lk, d in [(300, 25, 25, 64), (300, 25, 7, 64), (257, 3, 5, 32),
+                         (64, 64, 64, 64), (300, 1, 1, 64)]:
+        q = jnp.asarray(rng.randn(b, lq, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, lk, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, lk, d), jnp.float32)
+        ref = dot_product_attention(q, k, v)
+        out = _grouped_tiny_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5), (b, lq, lk)
+
+
+def test_attention_dispatcher_grouped_equals_xla():
+    from streamingt2v_tpu.ops.attention import attention
+
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(64, 25, 320), jnp.float32)
+    kv = jnp.asarray(rng.randn(64, 25, 320), jnp.float32)
+    ref = attention(q, kv, kv, num_heads=5, backend="xla")
+    out = attention(q, kv, kv, num_heads=5)  # b*h=320 >= 256 -> grouped
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_temporal_attention_kernel_and_fallback_match_reference():
+    """ops.temporal_attention (Pallas interpret + XLA fallback) vs explicit
+    rearrange + attention."""
+    from streamingt2v_tpu.ops.attention import dot_product_attention
+    from streamingt2v_tpu.ops.temporal_attention import temporal_attention
+
+    rng = np.random.RandomState(0)
+    for (b, tq, tkv, s, h, d) in [(2, 25, 25, 256, 5, 64), (2, 25, 7, 256, 5, 64),
+                                  (2, 38, 38, 96, 8, 64)]:
+        hd = h * d
+        q = jnp.asarray(rng.randn(b * tq, s, hd), jnp.float32)
+        k = jnp.asarray(rng.randn(b * tkv, s, hd), jnp.float32)
+        v = jnp.asarray(rng.randn(b * tkv, s, hd), jnp.float32)
+
+        def tm(z, t):
+            return z.reshape(b, t, s, h, d).transpose(0, 2, 3, 1, 4).reshape(
+                b * s * h, t, d)
+
+        ref = dot_product_attention(tm(q, tq), tm(k, tkv), tm(v, tkv))
+        ref = ref.reshape(b, s, h, tq, d).transpose(0, 3, 1, 2, 4).reshape(
+            b * tq, s, hd)
+        for interp in (True, False):  # Pallas interpret / XLA fallback
+            out = temporal_attention(q, k, v, batch=b, frames_q=tq,
+                                     frames_kv=tkv, num_heads=h, interpret=interp)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)

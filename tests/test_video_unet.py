@@ -222,3 +222,34 @@ def test_use_checkpoint_remat_matches_forward_and_grad():
     grads = jax.jit(jax.grad(loss))(params)
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+@pytest.mark.slow
+def test_streaming_wrapper_ctrl_cfg_shared_equivalence():
+    """With identical ctrl frames on both CFG halves, ctrl_cfg_shared=True
+    (one embedder pass, tiled) must match the unshared path exactly."""
+    ucfg = _ucfg(controlnet_mode=True)
+    ccfg = ControlNetConfig.tiny()
+    unet = VideoUNet(ucfg)
+    cn = ControlNet(ucfg, ccfg)
+    rng = np.random.RandomState(0)
+    scale = 2 ** (len(ccfg.conditioning_embedding_out_channels) - 1)
+
+    x = jnp.asarray(rng.randn(2, T, H, W, 4), jnp.float32)
+    t_cont = jnp.zeros((2,))
+    ctrl_one = jnp.asarray(rng.randn(1, F_COND, H * scale, W * scale, 3), jnp.float32)
+    cond = {
+        "concat": jnp.asarray(rng.randn(2, T, H, W, 4), jnp.float32),
+        "crossattn": jnp.asarray(rng.randn(2, T, 1, ucfg.context_dim), jnp.float32),
+        "vector": jnp.asarray(rng.randn(2, T, ucfg.adm_in_channels), jnp.float32),
+        "ctrl_frames": jnp.tile(ctrl_one, (2, 1, 1, 1, 1)),  # identical halves
+    }
+    xc = jnp.concatenate([x, cond["concat"]], axis=-1)
+    up = unet.init(jax.random.PRNGKey(0), xc, t_cont, cond["crossattn"], cond["vector"])
+    cp = cn.init(jax.random.PRNGKey(1), xc[:, :F_COND], t_cont,
+                 cond["crossattn"][:, :F_COND, :1], cond["vector"][:, :F_COND],
+                 cond["ctrl_frames"])
+
+    ref = streaming_wrapper(unet, up, cn, cp, F_COND)(x, t_cont, cond)
+    fast = streaming_wrapper(unet, up, cn, cp, F_COND, ctrl_cfg_shared=True)(
+        x, t_cont, cond)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fast))
