@@ -17,9 +17,12 @@ import jax
 import jax.numpy as jnp
 
 # Opt-in fused Pallas GroupNorm (STREAMINGT2V_FUSED_GN=1).  Measured on
-# v5e: XLA's own fusion of the jnp chain is FASTER (2.8ms vs 4.2ms per
-# level-0 GN+SiLU), so the kernel stays off by default; it remains useful
-# as a fusion boundary for future epilogue fusions (e.g. GN+SiLU+conv).
+# v5e (round 2, after removing the phase-0 placeholder writes): XLA's own
+# fusion of the jnp chain is still ~2.6x FASTER at the hot level-0 shape
+# (2.7ms vs 7.3ms for (50, 9216, 320) GN+SiLU; XLA sustains ~660 GB/s on
+# the two-pass chain, the Mosaic kernel ~240 GB/s), so the kernel stays
+# off by default.  It only wins on wide-channel/short-row shapes such as
+# (50, 576, 1280): 1.76ms vs 2.09ms.
 _FUSED_GN = os.environ.get("STREAMINGT2V_FUSED_GN", "0") == "1"
 
 
