@@ -59,12 +59,21 @@ def group_norm(
             )
             return out.reshape(x.shape)
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], num_groups, c // num_groups)
+    xg = x.reshape(*x.shape[:-1], num_groups, c // num_groups)
     # statistics over all non-batch dims: group channels and spatial dims.
-    red_axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-    mean = jnp.mean(xf, axis=red_axes, keepdims=True)
-    var = jnp.var(xf, axis=red_axes, keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    # Reduce straight off the bf16 input with f32 accumulation and use the
+    # E[x^2] - E[x]^2 variance form: materializing x.astype(f32) (the
+    # naive jnp.mean/jnp.var formulation) made XLA write + re-read a full
+    # f32 copy of the activation per GN — 32.6 GB/step of pure copies in
+    # the denoise step (docs/PERF.md).  Here every pass reads the bf16
+    # input directly and the converts fuse into the reduces.
+    mean = jnp.mean(xg, axis=red_axes, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red_axes,
+                  keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    xf = (xg.astype(jnp.float32) - mean) * inv
     out = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if act == "silu":
         out = out * jax.nn.sigmoid(out)
@@ -81,10 +90,11 @@ def layer_norm(
     eps: float = 1e-5,
 ) -> jax.Array:
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    # same single-materialization trick as group_norm above
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    var = jnp.maximum(m2 - mean * mean, 0.0)
+    out = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         out = out * scale.astype(jnp.float32)
     if bias is not None:

@@ -1,0 +1,138 @@
+"""Pallas temporal (kt,1,1) convolution for (B, T, S, C) activations.
+
+The UNet's temporal ResBlocks (reference video_model.py:46-59) and the
+VAE's AE3DConv run Conv3d with kernel (3,1,1): a pure time-axis mix that
+is per spatial position just  out[t] = sum_k x[t+k-1] @ W[k] + b.
+XLA's conv_general_dilated lowering of this shape was measured at only
+~37 TF/s effective on v5e (7.7 ms at the level-0 geometry) — it pays
+im2col traffic and layout shuffles for what is really three matmuls.
+
+This kernel streams (T, block_s, C) tiles through VMEM once, keeps all
+kt weight taps resident, and issues kt statically-shifted matmuls per
+tile, accumulating in f32 registers.  Traffic = read x once + write out
+once; MXU work = the useful FLOPs only.
+
+Zero padding at the temporal edges matches torch Conv3d padding=(1,0,0)
+and flax nn.Conv SAME (goldens in tests/test_torch_goldens.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, kt, t):
+    # x_ref: (1, T, bs, C); w_ref: (kt, C, bco); b_ref: (1, bco)
+    # o_ref: (1, T, bs, bco)
+    bs = x_ref.shape[2]
+    bco = o_ref.shape[3]
+    acc = jnp.zeros((t * bs, bco), jnp.float32)
+    lo = kt // 2
+    for k in range(kt):
+        # tap k reads x[t + k - lo] -> contributes to out rows where the
+        # read stays in [0, T): out[max(0, lo-k) : T - max(0, k-lo)]
+        o0 = max(0, lo - k)
+        x0 = max(0, k - lo)
+        tt = t - x0 - o0
+        if tt <= 0:
+            continue
+        xs = x_ref[0, x0:x0 + tt]  # (tt, bs, C)
+        part = jax.lax.dot(
+            xs.reshape(tt * bs, x_ref.shape[3]), w_ref[k],
+            preferred_element_type=jnp.float32,
+        )
+        if o0 or tt < t:  # zero-fill rows outside this tap's range
+            part = jnp.pad(part, ((o0 * bs, (t - o0 - tt) * bs), (0, 0)))
+        acc = acc + part
+    acc = acc + b_ref[0]
+    o_ref[0] = acc.reshape(t, bs, bco).astype(o_ref.dtype)
+
+
+# v5e scoped-VMEM cap is 16M; leave room for Mosaic double buffering of
+# the x/out tiles plus the resident weights and the f32 accumulator.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_blocks(t: int, s: int, c: int, c_out: int, kt: int, dsize: int):
+    """Choose (block_s, block_co).  Full-C contraction per tile; weights
+    are grid-constant so Mosaic fetches them once."""
+    for bco in (min(-(-c_out // 128) * 128, 512), 256, 128):
+        if bco > -(-c_out // 128) * 128:
+            continue
+        for bs in (512, 256, 128, 64, 32, 16, 8):
+            if bs > max(8, -(-s // 8) * 8):
+                continue
+            x_tile = 2 * t * bs * c * dsize          # double-buffered
+            o_tile = 2 * t * bs * bco * dsize
+            w_res = kt * c * bco * dsize * 2
+            acc = 4 * t * bs * bco
+            if x_tile + o_tile + w_res + acc <= _VMEM_BUDGET:
+                return bs, bco
+    return 8, 128
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_s", "block_co"))
+def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array, *,
+                  block_s: int = 0, block_co: int = 0,
+                  interpret: bool = False) -> jax.Array:
+    """x: (B, T, S, C); w: (kt, C, C_out); b: (C_out,) -> (B, T, S, C_out).
+
+    Time-axis conv, stride 1, zero 'SAME' padding on T.  Falls back to
+    unbatched matmul semantics for kt == 1.
+    """
+    bsz, t, s, c = x.shape
+    kt, wc, c_out = w.shape
+    assert wc == c, (w.shape, x.shape)
+
+    bs, bco = _pick_blocks(t, s, c, c_out, kt, max(x.dtype.itemsize, 2))
+    bs = block_s or bs
+    bco = block_co or bco
+    s_pad = (-s) % bs
+    if s_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+    co_pad = (-c_out) % bco
+    if co_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, co_pad)))
+        b = jnp.pad(b, (0, co_pad))
+    ns = x.shape[2] // bs
+    nco = w.shape[2] // bco
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, kt=kt, t=t),
+        grid=(bsz, ns, nco),
+        in_specs=[
+            pl.BlockSpec((1, t, bs, c), lambda i, j, o: (i, 0, j, 0)),
+            pl.BlockSpec((kt, c, bco), lambda i, j, o: (0, 0, o)),
+            pl.BlockSpec((1, bco), lambda i, j, o: (0, o)),
+        ],
+        out_specs=pl.BlockSpec((1, t, bs, bco), lambda i, j, o: (i, 0, j, o)),
+        out_shape=jax.ShapeDtypeStruct((bsz, t, x.shape[2], w.shape[2]), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * t * s * c * c_out * kt,
+            bytes_accessed=(x.size + w.size + bsz * t * s * c_out)
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w, b.reshape(1, -1).astype(jnp.float32))
+    if s_pad or co_pad:
+        out = out[:, :, :s, :c_out]
+    return out
+
+
+def fits_temporal_conv(t: int, c: int, c_out: int, kt: int) -> bool:
+    """Gate: the kernel needs one (T, 8, C) x-tile + resident weights under
+    the VMEM budget, and kt centered (odd)."""
+    if kt % 2 != 1 or kt > 5:
+        return False
+    dsize = 2
+    return (2 * t * 8 * c + kt * c * 128 * 2) * dsize + 4 * t * 8 * 128 \
+        <= _VMEM_BUDGET
