@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from streamingt2v_tpu.ops import attention, group_norm, layer_norm, timestep_embedding
+from streamingt2v_tpu.ops.attention import attention_pre_split
 from streamingt2v_tpu.parallel.sharding import shard
 
 
@@ -109,7 +110,7 @@ class CrossAttention(nn.Module):
     context_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, context=None, pre=None, post=None):
+    def __call__(self, x, context=None, pre=None, post=None, pre_split=False):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
 
@@ -132,7 +133,11 @@ class CrossAttention(nn.Module):
         v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
         if pre is not None:
             q, k, v = pre(q), pre(k), pre(v)
-        o = attention(q, k, v, num_heads=self.heads)
+        if pre_split:
+            # pre produced head-folded (B*H, L, D) in one permutation
+            o = attention_pre_split(q, k, v)
+        else:
+            o = attention(q, k, v, num_heads=self.heads)
         if post is not None:
             o = post(o)
         return nn.Dense(x.shape[-1], name="to_out")(o)
@@ -221,18 +226,27 @@ class VideoTransformerBlock(nn.Module):
         c = x.shape[-1]
         b, t, s = batch, frames, x.shape[1]
 
-        def to_time_major(z):
-            return z.reshape(b, t, s, -1).transpose(0, 2, 1, 3).reshape(b * s, t, -1)
+        hd, dh = self.heads, self.dim_head
 
-        def to_spatial_major(z):
-            return z.reshape(b, s, t, -1).transpose(0, 2, 1, 3).reshape(b * t, s, -1)
+        def to_time_split(z):
+            # (b t) s (h d) -> (b s h) t d: ONE permutation that both moves
+            # T inner and folds heads into batch, replacing the former
+            # time-major transpose + `attention`'s head-split transpose
+            # (two full HBM passes per q/k/v/o tensor, docs/PERF.md).
+            return z.reshape(b, t, s, hd, dh).transpose(0, 2, 3, 1, 4).reshape(
+                b * s * hd, t, dh)
+
+        def from_time_split(z):
+            return z.reshape(b, s, hd, t, dh).transpose(0, 3, 1, 2, 4).reshape(
+                b * t, s, hd * dh)
 
         if self.ff_in:
             si, bi = _ln_params(self, "norm_in", c)
             x = x + FeedForward(c, name="ff_in")(layer_norm(x, si, bi))
         s1, b1 = _ln_params(self, "norm1", c)
         x = x + CrossAttention(self.heads, self.dim_head, name="attn1")(
-            layer_norm(x, s1, b1), pre=to_time_major, post=to_spatial_major
+            layer_norm(x, s1, b1), pre=to_time_split, post=from_time_split,
+            pre_split=True,
         )
         if not self.disable_temporal_crossattention:
             s2, b2 = _ln_params(self, "norm2", c)
@@ -354,6 +368,62 @@ class UNetResBlock(nn.Module):
         return x + h
 
 
+class _ConvParams(nn.Module):
+    """nn.Conv-shaped param pair (kernel/bias) without binding the conv,
+    so the temporal conv can route through the Pallas kernel while the
+    param tree stays identical to nn.Conv's (checkpoint compatibility)."""
+
+    shape: Tuple[int, ...]
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        k = self.param("kernel", init, self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+def _time_conv(h, kernel, out_channels: int, name: str,
+               *, zero_init: bool = False):
+    """(kt,1,1) temporal conv with nn.Conv-compatible params.
+
+    On TPU the pure time-axis shape routes through the Pallas kernel
+    (ops/temporal_conv.py): XLA's conv lowering pays im2col traffic plus
+    ~3 operand layout copies per instance (measured 6.4 ms vs the kernel's
+    5.1 ms at level 0, docs/PERF.md).  The param tree is identical to
+    nn.Conv's (`{name}/kernel` (kt,1,1,C,Co), `{name}/bias`), so
+    checkpoints and the CPU/golden path are unaffected.  A (kt,1,1) conv
+    as kt shifted XLA matmuls was 3.5x slower still (26.7 ms) — the
+    shifted-output concats never fuse."""
+    kt, kh, kw = kernel
+    b, t, hh, ww, c = h.shape
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and kh == 1 and kw == 1 and kt % 2 == 1
+        and hh * ww >= 64
+    )
+    if use_pallas:
+        from streamingt2v_tpu.ops.temporal_conv import (
+            fits_temporal_conv,
+            temporal_conv,
+        )
+        use_pallas = fits_temporal_conv(t, c, out_channels, kt)
+    if not use_pallas:
+        ki = {"kernel_init": nn.initializers.zeros} if zero_init else {}
+        return nn.Conv(out_channels, kernel, name=name, **ki)(h)
+
+    w, bias = _ConvParams((kt, 1, 1, c, out_channels), zero_init=zero_init,
+                          name=name)()
+    out = temporal_conv(
+        h.reshape(b, t, hh * ww, c),
+        w.reshape(kt, c, out_channels).astype(h.dtype),
+        bias.astype(jnp.float32),
+    )
+    return out.reshape(b, t, hh, ww, out_channels)
+
+
 class TemporalUNetResBlock(nn.Module):
     """openaimodel ResBlock with dims=3, kernel (3,1,1) (the UNet
     VideoResBlock time_stack, video_model.py:46-59).
@@ -364,19 +434,16 @@ class TemporalUNetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb):
-        # NOTE(perf): a (kt,1,1) conv expressed as kt shifted matmuls was
-        # measured 3.5x SLOWER than XLA's conv lowering here (26.7 vs 7.7
-        # ms at level 0) — the shifted-output concats never fuse.  The
-        # conv stays a conv; see docs/PERF.md "what was tried".
         c = x.shape[-1]
         s1, b1 = _gn_params(self, "in_norm", c)
         h = group_norm(x, s1, b1, eps=1e-5, act="silu")
-        h = nn.Conv(self.out_channels, self.kernel, name="in_conv")(h)
+        h = _time_conv(h, self.kernel, self.out_channels, "in_conv")
         e = nn.Dense(self.out_channels, name="emb_proj")(jax.nn.silu(emb.astype(jnp.float32)).astype(emb.dtype))
         h = h + e[:, :, None, None, :]
         s2, b2 = _gn_params(self, "out_norm", self.out_channels)
         h = group_norm(h, s2, b2, eps=1e-5, act="silu")
-        h = nn.Conv(self.out_channels, self.kernel, kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        h = _time_conv(h, self.kernel, self.out_channels, "out_conv",
+                       zero_init=True)
         if c != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="skip")(x)
         return x + h

@@ -123,6 +123,46 @@ def _flash_sharded(qf: jax.Array, kf: jax.Array, vf: jax.Array, mesh) -> jax.Arr
     return out[:b] if pad else out
 
 
+def attention_pre_split(
+    qf: jax.Array,
+    kf: jax.Array,
+    vf: jax.Array,
+    *,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """Attention on pre-head-folded (B*H, L, D) tensors; returns the same
+    layout.  For callers that can produce the folded layout in a single
+    permutation (the temporal blocks fold (b t) s (h d) -> (b s h) t d in
+    one transpose), this skips `attention`'s own head split/merge
+    transposes — two full HBM passes per tensor at the level-0 geometry
+    (docs/PERF.md)."""
+    bh, lq, d = qf.shape
+    _, lk, _ = kf.shape
+
+    from streamingt2v_tpu.parallel.sharding import get_active_mesh, shard
+
+    if backend is None and _FORCED_BACKEND:
+        backend = _FORCED_BACKEND
+    if backend is None:
+        use_flash = _on_tpu() and lq * lk >= _FLASH_MIN_SCORE_ELEMS
+    else:
+        use_flash = backend == "flash"
+
+    mesh = get_active_mesh()
+    if use_flash:
+        if mesh is not None and mesh.size > 1:
+            return _flash_sharded(qf, kf, vf, mesh)
+        return flash_attention(qf, kf, vf)
+    if (lq <= _GROUP_MAX_LEN and lk <= _GROUP_MAX_LEN and bh >= 256
+            and backend != "xla"):
+        qf = shard(qf, "batch", None, None)
+        kf = shard(kf, "batch", None, None)
+        vf = shard(vf, "batch", None, None)
+        return _grouped_tiny_attention(qf, kf, vf)
+    qf = shard(qf, "batch", "tokens", None)
+    return dot_product_attention(qf, kf, vf)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
