@@ -16,7 +16,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from streamingt2v_tpu.ops import attention, group_norm
+from streamingt2v_tpu.ops import group_norm
+from streamingt2v_tpu.ops.attention import attention_pre_split
 
 
 class CAMConditionalModel(nn.Module):
@@ -36,20 +37,31 @@ class CAMConditionalModel(nn.Module):
         bias = self.param("norm_bias", nn.initializers.zeros, (c,))
         hn = group_norm(sample, scale, bias, eps=1e-6)
 
-        # (B, F, H, W, C) -> (B*H*W, F, C)
-        hn = hn.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
-        hn = nn.Dense(c, name="proj_in")(hn)
+        # Projections are position-independent, so they run in the natural
+        # frame-major layout; only q/k/v/o get ONE permutation each that
+        # both moves F inner and folds heads into batch ((b f) s (h d) ->
+        # (b s h) f d) — the former pre-projection (B,F,H,W,C)->(B*H*W,F,C)
+        # transposes plus `attention`'s head split cost 7 full HBM passes
+        # per merger (docs/PERF.md).
+        s, d = h * w, self.attention_head_dim
 
-        kv = conditioning.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f_cond, c)
+        def fold(z, fz):
+            return z.reshape(b, fz, s, heads, d).transpose(0, 2, 3, 1, 4).reshape(
+                b * s * heads, fz, d)
 
-        q = nn.Dense(c, use_bias=False, name="to_q")(hn)
-        k = nn.Dense(c, use_bias=False, name="to_k")(kv)
-        v = nn.Dense(c, use_bias=False, name="to_v")(kv)
-        o = attention(q, k, v, num_heads=heads)
+        hn = nn.Dense(c, name="proj_in")(hn.reshape(b, f, s, c))
+        kv = conditioning.reshape(b, f_cond, s, c)
+
+        q = fold(nn.Dense(c, use_bias=False, name="to_q")(hn), f)
+        k = fold(nn.Dense(c, use_bias=False, name="to_k")(kv), f_cond)
+        v = fold(nn.Dense(c, use_bias=False, name="to_v")(kv), f_cond)
+        o = attention_pre_split(q, k, v)
+        # (b s h) f d -> (b, f, s, c)
+        o = o.reshape(b, s, heads, f, d).transpose(0, 3, 1, 2, 4).reshape(
+            b, f, s, c)
         o = nn.Dense(c, name="to_out")(o)
 
         residual = nn.Dense(
             c, kernel_init=nn.initializers.zeros, name="proj_out"
         )(o)
-        residual = residual.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-        return sample + residual
+        return sample + residual.reshape(b, f, h, w, c)

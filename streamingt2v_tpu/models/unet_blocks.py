@@ -75,10 +75,17 @@ class FeedForward(nn.Module):
     mult: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None, residual: bool = False):
+        """`ln=(scale, bias)` fuses the pre-LN (eps 1e-5) and `residual`
+        fuses the `x + FF(LN(x))` skip into the Pallas kernel — one custom
+        call for the whole pre-LN residual FF pattern, avoiding the LN
+        materialization, the relayout copies XLA inserts around the custom
+        call, and the separate residual-add pass (docs/PERF.md)."""
         inner = int(x.shape[-1] * self.mult)
         w1, b1 = _DenseParams(inner * 2, name="proj")(x.shape[-1])
         w2, b2 = _DenseParams(self.dim_out, name="out")(inner)
+        if residual:
+            assert self.dim_out == x.shape[-1]
 
         n_rows = 1
         for d in x.shape[:-1]:
@@ -86,14 +93,23 @@ class FeedForward(nn.Module):
         if jax.default_backend() == "tpu" and n_rows >= 256 and inner % 128 == 0:
             from streamingt2v_tpu.ops.fused_ff import geglu_ff
 
-            return geglu_ff(x, w1.astype(x.dtype), b1.astype(x.dtype),
-                            w2.astype(x.dtype), b2.astype(x.dtype))
+            return geglu_ff(
+                x, w1.astype(x.dtype), b1.astype(x.dtype),
+                w2.astype(x.dtype), b2.astype(x.dtype),
+                ln_scale=None if ln is None else ln[0],
+                ln_bias=None if ln is None else ln[1],
+                residual=residual,
+            )
 
+        x_in = x
+        if ln is not None:
+            x = layer_norm(x, ln[0], ln[1])
         h = x @ w1.astype(x.dtype) + b1.astype(x.dtype)
         a, b = jnp.split(h, 2, axis=-1)
         # exact (erf) GELU: torch F.gelu's default, used by sgm/diffusers
         h = a * jax.nn.gelu(b.astype(jnp.float32), approximate=False).astype(b.dtype)
-        return h @ w2.astype(x.dtype) + b2.astype(x.dtype)
+        h = h @ w2.astype(x.dtype) + b2.astype(x.dtype)
+        return x_in + h if residual else h
 
 
 class CrossAttention(nn.Module):
@@ -196,7 +212,7 @@ class BasicTransformerBlock(nn.Module):
             self.heads, self.dim_head, context_dim=self.context_dim, name="attn2"
         )(h, context)
         s3, b3 = _ln_params(self, "norm3", c)
-        x = x + FeedForward(c, name="ff")(layer_norm(x, s3, b3))
+        x = FeedForward(c, name="ff")(x, ln=(s3, b3), residual=True)
         return x
 
 
@@ -242,7 +258,7 @@ class VideoTransformerBlock(nn.Module):
 
         if self.ff_in:
             si, bi = _ln_params(self, "norm_in", c)
-            x = x + FeedForward(c, name="ff_in")(layer_norm(x, si, bi))
+            x = FeedForward(c, name="ff_in")(x, ln=(si, bi), residual=True)
         s1, b1 = _ln_params(self, "norm1", c)
         x = x + CrossAttention(self.heads, self.dim_head, name="attn1")(
             layer_norm(x, s1, b1), pre=to_time_split, post=from_time_split,
@@ -257,7 +273,7 @@ class VideoTransformerBlock(nn.Module):
                 self.heads, self.dim_head, context_dim=self.context_dim, name="attn2"
             )(layer_norm(x, s2, b2), context)
         s3, b3 = _ln_params(self, "norm3", c)
-        x = x + FeedForward(c, name="ff")(layer_norm(x, s3, b3))
+        x = FeedForward(c, name="ff")(x, ln=(s3, b3), residual=True)
         return x
 
 
@@ -386,7 +402,7 @@ class _ConvParams(nn.Module):
 
 
 def _time_conv(h, kernel, out_channels: int, name: str,
-               *, zero_init: bool = False):
+               *, zero_init: bool = False, res=None, res_w=None):
     """(kt,1,1) temporal conv with nn.Conv-compatible params.
 
     On TPU the pure time-axis shape routes through the Pallas kernel
@@ -412,7 +428,10 @@ def _time_conv(h, kernel, out_channels: int, name: str,
         use_pallas = fits_temporal_conv(t, c, out_channels, kt)
     if not use_pallas:
         ki = {"kernel_init": nn.initializers.zeros} if zero_init else {}
-        return nn.Conv(out_channels, kernel, name=name, **ki)(h)
+        out = nn.Conv(out_channels, kernel, name=name, **ki)(h)
+        if res is not None:
+            out = res + res_w[:, :, None, None, None].astype(res.dtype) * out
+        return out
 
     w, bias = _ConvParams((kt, 1, 1, c, out_channels), zero_init=zero_init,
                           name=name)()
@@ -420,6 +439,8 @@ def _time_conv(h, kernel, out_channels: int, name: str,
         h.reshape(b, t, hh * ww, c),
         w.reshape(kt, c, out_channels).astype(h.dtype),
         bias.astype(jnp.float32),
+        None if res is None else res.reshape(b, t, hh * ww, out_channels),
+        res_w,
     )
     return out.reshape(b, t, hh, ww, out_channels)
 
@@ -433,7 +454,11 @@ class TemporalUNetResBlock(nn.Module):
     kernel: Tuple[int, int, int] = (3, 1, 1)
 
     @nn.compact
-    def __call__(self, x, emb):
+    def __call__(self, x, emb, blend_weight=None):
+        """`blend_weight` ((B, T) f32): when given, returns
+        x + blend_weight * out_conv(...) with the scaled residual fused
+        into the temporal-conv epilogue — the caller's AlphaBlender
+        collapses to this form (see UNetVideoResBlock)."""
         c = x.shape[-1]
         s1, b1 = _gn_params(self, "in_norm", c)
         h = group_norm(x, s1, b1, eps=1e-5, act="silu")
@@ -442,11 +467,12 @@ class TemporalUNetResBlock(nn.Module):
         h = h + e[:, :, None, None, :]
         s2, b2 = _gn_params(self, "out_norm", self.out_channels)
         h = group_norm(h, s2, b2, eps=1e-5, act="silu")
-        h = _time_conv(h, self.kernel, self.out_channels, "out_conv",
-                       zero_init=True)
         if c != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="skip")(x)
-        return x + h
+        if blend_weight is None:
+            blend_weight = jnp.ones(x.shape[:2], jnp.float32)
+        return _time_conv(h, self.kernel, self.out_channels, "out_conv",
+                          zero_init=True, res=x, res_w=blend_weight)
 
 
 class UNetVideoResBlock(nn.Module):
@@ -462,11 +488,17 @@ class UNetVideoResBlock(nn.Module):
         h = UNetResBlock(self.out_channels, name="spatial")(
             x.reshape(b * t, hh, ww, c), emb.reshape(b * t, -1)
         ).reshape(b, t, hh, ww, self.out_channels)
-        h_time = TemporalUNetResBlock(
-            self.out_channels, self.video_kernel_size, name="time_stack"
-        )(h, emb)
         mix = self.param("time_mixer_mix_factor", nn.initializers.constant(0.0), (1,))
-        out = blend_with_images(mix, h, h_time, image_only_indicator)
+        # AlphaBlender algebra: alpha*h + (1-alpha)*(h + conv) =
+        # h + (1-alpha)*conv, with alpha forced to 1 (weight 0) for image
+        # rows — so the blend + the temporal ResBlock residual collapse
+        # into one scaled-residual fused into the out_conv epilogue.
+        alpha = jax.nn.sigmoid(mix.astype(jnp.float32))
+        bw = jnp.where(image_only_indicator, 0.0,
+                       (1.0 - alpha).astype(jnp.float32))
+        out = TemporalUNetResBlock(
+            self.out_channels, self.video_kernel_size, name="time_stack"
+        )(h, emb, blend_weight=bw)
         return shard(out, "batch", None, "height", None, None)
 
 

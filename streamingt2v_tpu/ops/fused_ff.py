@@ -63,15 +63,31 @@ def _gelu_erf(x, exact):
 
 
 def _ff_kernel(x_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref, w2_ref, b2_ref,
-               o_ref, acc_scr, *, exact_gelu):
+               lns_ref, lnb_ref, o_ref, acc_scr, xn_scr, *,
+               exact_gelu, ln, residual, c_valid):
     i = pl.program_id(1)
     ni = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if ln:
+            # pre-LN fused in-kernel: per-row stats over the (full-C) lane
+            # axis, computed once per row block and cached for the i-sweep.
+            # Fusing the LN here (instead of an XLA reduce fusion feeding
+            # the custom call) also removes the {1,2,0}<->{2,1,0} relayout
+            # copies XLA inserted on both sides of the call: its layout
+            # assignment prefers a channel-second-minor layout for reduce
+            # chains while the kernel requires the dense row-major layout
+            # (docs/PERF.md).
+            xf = x_ref[:].astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+            inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+            xn = (xf - mean) * inv * lns_ref[0] + lnb_ref[0]
+            xn_scr[:] = xn.astype(xn_scr.dtype)
 
-    x = x_ref[:]
+    x = xn_scr[:] if ln else x_ref[:]
     a = jax.lax.dot(
         x, w1a_ref[:], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
@@ -88,7 +104,12 @@ def _ff_kernel(x_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref, w2_ref, b2_ref,
 
     @pl.when(i == ni - 1)
     def _finalize():
-        o_ref[:] = (acc_scr[:] + b2_ref[0]).astype(o_ref.dtype)
+        out = acc_scr[:] + b2_ref[0]
+        if residual:
+            # out-features == in-features for the residual FFs; padded
+            # c rows beyond c_valid are sliced away by the caller.
+            out = out + x_ref[:, :out.shape[-1]].astype(jnp.float32)
+        o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _pick(n: int, maximum: int, granule: int) -> int:
@@ -133,7 +154,7 @@ def _budget_blocks(c: int, c_out: int, dsize: int,
             if bi > inner_full:
                 continue
             est = (2 * dsize * (bn * c + 2 * c * bi + bi * c_out + bn * c_out)
-                   + 4 * bn * c_out + 12 * bn * bi)
+                   + 4 * bn * c_out + 12 * bn * bi + dsize * bn * c)
             if est > _VMEM_BUDGET:
                 continue
             nn_ = -(-max_n // bn)
@@ -149,7 +170,8 @@ def _budget_blocks(c: int, c_out: int, dsize: int,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_i", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_i", "residual",
+                                             "interpret"))
 def geglu_ff(
     x: jax.Array,      # (..., C)
     w1: jax.Array,     # (C, 2*inner): [a-half ‖ b-half] (torch GEGLU layout)
@@ -157,6 +179,9 @@ def geglu_ff(
     w2: jax.Array,     # (inner, C_out)
     b2: jax.Array,     # (C_out,)
     *,
+    ln_scale: "jax.Array | None" = None,  # fuse pre-LN (eps 1e-5) in-kernel
+    ln_bias: "jax.Array | None" = None,
+    residual: bool = False,               # return x + FF(...) (needs C_out == C)
     block_n: int = 0,  # 0 = auto (scoped-VMEM budget)
     block_i: int = 0,
     interpret: bool = False,
@@ -166,6 +191,9 @@ def geglu_ff(
     inner = w2.shape[0]
     c_out = w2.shape[1]
     assert w1.shape == (c, 2 * inner), (w1.shape, c, inner)
+    ln = ln_scale is not None
+    if residual:
+        assert c_out == c, (c_out, c)
 
     n = 1
     for d in lead:
@@ -195,7 +223,18 @@ def geglu_ff(
     nn_ = xf.shape[0] // bn
     ii = w2.shape[0] // bi
 
-    kernel = functools.partial(_ff_kernel, exact_gelu=x.dtype == jnp.float32)
+    if ln:
+        lns = ln_scale.reshape(1, c).astype(jnp.float32)
+        lnb = (jnp.zeros((1, c), jnp.float32) if ln_bias is None
+               else ln_bias.reshape(1, c).astype(jnp.float32))
+    else:
+        lns = jnp.ones((1, c), jnp.float32)
+        lnb = jnp.zeros((1, c), jnp.float32)
+
+    kernel = functools.partial(
+        _ff_kernel, exact_gelu=x.dtype == jnp.float32, ln=ln,
+        residual=residual, c_valid=c_out,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(nn_, ii),
@@ -207,10 +246,13 @@ def geglu_ff(
             pl.BlockSpec((1, bi), lambda ni_, i: (0, i)),
             pl.BlockSpec((bi, c_out), lambda ni_, i: (i, 0)),
             pl.BlockSpec((1, c_out), lambda ni_, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda ni_, i: (0, 0)),
+            pl.BlockSpec((1, c), lambda ni_, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((bn, c_out), lambda ni_, i: (ni_, 0)),
         out_shape=jax.ShapeDtypeStruct((xf.shape[0], c_out), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bn, c_out), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bn, c_out), jnp.float32),
+                        pltpu.VMEM((bn, c), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -220,7 +262,7 @@ def geglu_ff(
             transcendentals=n * inner,
         ),
         interpret=interpret,
-    )(xf, w1a, w1b, b1a[None], b1b[None], w2, b2[None])
+    )(xf, w1a, w1b, b1a[None], b1b[None], w2, b2[None], lns, lnb)
     if n_pad:
         out = out[:n]
     return out.reshape(lead + (c_out,))

@@ -59,22 +59,50 @@ def group_norm(
             )
             return out.reshape(x.shape)
     orig_dtype = x.dtype
-    xg = x.reshape(*x.shape[:-1], num_groups, c // num_groups)
-    # statistics over all non-batch dims: group channels and spatial dims.
-    red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    # Reduce straight off the bf16 input with f32 accumulation and use the
-    # E[x^2] - E[x]^2 variance form: materializing x.astype(f32) (the
-    # naive jnp.mean/jnp.var formulation) made XLA write + re-read a full
+    # Statistics over all non-batch dims (group channels + spatial dims),
+    # in the E[x^2] - E[x]^2 form so nothing f32-wide is materialized: the
+    # naive jnp.mean/jnp.var formulation made XLA write + re-read a full
     # f32 copy of the activation per GN — 32.6 GB/step of pure copies in
-    # the denoise step (docs/PERF.md).  Here every pass reads the bf16
-    # input directly and the converts fuse into the reduces.
-    mean = jnp.mean(xg, axis=red_axes, keepdims=True, dtype=jnp.float32)
-    m2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red_axes,
-                  keepdims=True)
-    var = jnp.maximum(m2 - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    xf = (xg.astype(jnp.float32) - mean) * inv
-    out = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # the denoise step (docs/PERF.md).
+    lead = x.shape[0]
+    l = 1
+    for d in x.shape[1:-1]:
+        l *= d
+    xs = x.reshape(lead, l, c)
+    if l * (c // num_groups) >= 1 << 14 and c % num_groups == 0:
+        # Large reduce span: per-group sums via MXU matmuls against a
+        # one-hot (C, G) matrix.  XLA's strided group reduction (minor-dim
+        # partial reduce of width C/G) ran at 13-25 ms per instance at the
+        # production geometry; the matmul form is bandwidth-bound
+        # (~0.5 ms).  x^2 in bf16 is unbiased rounding — the averaged
+        # E[x^2] error is ~1e-4 relative, far inside golden tolerance.
+        ghot = jnp.equal(
+            jnp.arange(c)[:, None] // (c // num_groups),
+            jnp.arange(num_groups)[None, :],
+        ).astype(x.dtype)
+        cnt = l * (c // num_groups)
+        s1 = jnp.einsum("nlc,cg->ng", xs, ghot,
+                        preferred_element_type=jnp.float32)
+        s2 = jnp.einsum("nlc,cg->ng", xs * xs, ghot,
+                        preferred_element_type=jnp.float32)
+        mean_g = s1 / cnt
+        var_g = jnp.maximum(s2 / cnt - mean_g * mean_g, 0.0)
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        rep = c // num_groups
+        mean = jnp.repeat(mean_g, rep, axis=1)[:, None, :]   # (N, 1, C)
+        inv = jnp.repeat(inv_g, rep, axis=1)[:, None, :]
+        xf = (xs.astype(jnp.float32) - mean) * inv
+        out = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    else:
+        xg = x.reshape(*x.shape[:-1], num_groups, c // num_groups)
+        red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = jnp.mean(xg, axis=red_axes, keepdims=True, dtype=jnp.float32)
+        m2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red_axes,
+                      keepdims=True)
+        var = jnp.maximum(m2 - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        xf = (xg.astype(jnp.float32) - mean) * inv
+        out = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if act == "silu":
         out = out * jax.nn.sigmoid(out)
     elif act is not None:

@@ -27,7 +27,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, kt, t):
+    _conv_body(x_ref, w_ref, b_ref, o_ref, None, None, kt=kt, t=t)
+
+
+def _kernel_res(x_ref, w_ref, b_ref, res_ref, rw_ref, o_ref, *, kt, t):
+    _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, kt=kt, t=t)
+
+
+def _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, *, kt, t):
     # x_ref: (1, T, bs, C); w_ref: (kt, C, bco); b_ref: (1, bco)
+    # res_ref: (1, T, bs, bco) residual; rw_ref: (1, T) per-frame weight
     # o_ref: (1, T, bs, bco)
     bs = x_ref.shape[2]
     bco = o_ref.shape[3]
@@ -49,8 +58,19 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *, kt, t):
         if o0 or tt < t:  # zero-fill rows outside this tap's range
             part = jnp.pad(part, ((o0 * bs, (t - o0 - tt) * bs), (0, 0)))
         acc = acc + part
-    acc = acc + b_ref[0]
-    o_ref[0] = acc.reshape(t, bs, bco).astype(o_ref.dtype)
+    acc = (acc + b_ref[0]).reshape(t, bs, bco)
+    if res_ref is not None:
+        # fused scaled-residual epilogue: res + w[b,t] * conv  (the UNet
+        # VideoResBlock blend collapses to this form, unet_blocks.py).
+        # res_w lives in SMEM; per-frame scalar * slab broadcast (a lane
+        # vector reshaped to sublanes is an unsupported Mosaic shape cast).
+        i = pl.program_id(0)
+        for tt in range(t):
+            o_ref[0, tt] = (
+                res_ref[0, tt].astype(jnp.float32) + rw_ref[i, tt] * acc[tt]
+            ).astype(o_ref.dtype)
+    else:
+        o_ref[0] = acc.astype(o_ref.dtype)
 
 
 # v5e scoped-VMEM cap is 16M; leave room for Mosaic double buffering of
@@ -58,7 +78,8 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *, kt, t):
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_blocks(t: int, s: int, c: int, c_out: int, kt: int, dsize: int):
+def _pick_blocks(t: int, s: int, c: int, c_out: int, kt: int, dsize: int,
+                 fuse_res: bool = False):
     """Choose (block_s, block_co).  Full-C contraction per tile; weights
     are grid-constant so Mosaic fetches them once."""
     for bco in (min(-(-c_out // 128) * 128, 512), 256, 128):
@@ -69,6 +90,8 @@ def _pick_blocks(t: int, s: int, c: int, c_out: int, kt: int, dsize: int):
                 continue
             x_tile = 2 * t * bs * c * dsize          # double-buffered
             o_tile = 2 * t * bs * bco * dsize
+            if fuse_res:
+                o_tile += 2 * t * bs * bco * dsize   # res tile
             w_res = kt * c * bco * dsize * 2
             acc = 4 * t * bs * bco
             if x_tile + o_tile + w_res + acc <= _VMEM_BUDGET:
@@ -77,39 +100,65 @@ def _pick_blocks(t: int, s: int, c: int, c_out: int, kt: int, dsize: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_s", "block_co"))
-def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array, *,
+def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array,
+                  res: "jax.Array | None" = None,
+                  res_w: "jax.Array | None" = None, *,
                   block_s: int = 0, block_co: int = 0,
                   interpret: bool = False) -> jax.Array:
     """x: (B, T, S, C); w: (kt, C, C_out); b: (C_out,) -> (B, T, S, C_out).
 
-    Time-axis conv, stride 1, zero 'SAME' padding on T.  Falls back to
-    unbatched matmul semantics for kt == 1.
-    """
+    Time-axis conv, stride 1, zero 'SAME' padding on T.  With `res`
+    ((B, T, S, C_out)) and `res_w` ((B, T) f32), the epilogue computes
+    `res + res_w[b,t] * conv` in-kernel — the UNet VideoResBlock's
+    residual-add + AlphaBlender collapse to exactly this form, saving the
+    separate add and blend HBM passes (docs/PERF.md)."""
     bsz, t, s, c = x.shape
     kt, wc, c_out = w.shape
     assert wc == c, (w.shape, x.shape)
+    fuse_res = res is not None
+    if fuse_res:
+        assert res.shape == (bsz, t, s, c_out), (res.shape, x.shape)
+        assert res_w is not None and res_w.shape == (bsz, t), res_w
 
-    bs, bco = _pick_blocks(t, s, c, c_out, kt, max(x.dtype.itemsize, 2))
+    bs, bco = _pick_blocks(t, s, c, c_out, kt, max(x.dtype.itemsize, 2),
+                           fuse_res)
     bs = block_s or bs
     bco = block_co or bco
     s_pad = (-s) % bs
     if s_pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
+        if fuse_res:
+            res = jnp.pad(res, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
     co_pad = (-c_out) % bco
     if co_pad:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, co_pad)))
         b = jnp.pad(b, (0, co_pad))
+        if fuse_res:
+            res = jnp.pad(res, ((0, 0), (0, 0), (0, 0), (0, co_pad)))
     ns = x.shape[2] // bs
     nco = w.shape[2] // bco
 
+    in_specs = [
+        pl.BlockSpec((1, t, bs, c), lambda i, j, o: (i, 0, j, 0)),
+        pl.BlockSpec((kt, c, bco), lambda i, j, o: (0, 0, o)),
+        pl.BlockSpec((1, bco), lambda i, j, o: (0, o)),
+    ]
+    args = [x, w, b.reshape(1, -1).astype(jnp.float32)]
+    if fuse_res:
+        kernel = functools.partial(_kernel_res, kt=kt, t=t)
+        in_specs += [
+            pl.BlockSpec((1, t, bs, bco), lambda i, j, o: (i, 0, j, o)),
+            # scalars in SMEM; the kernel indexes [program_id(0), t]
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        args += [res, res_w.astype(jnp.float32)]
+    else:
+        kernel = functools.partial(_kernel, kt=kt, t=t)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, kt=kt, t=t),
+        kernel,
         grid=(bsz, ns, nco),
-        in_specs=[
-            pl.BlockSpec((1, t, bs, c), lambda i, j, o: (i, 0, j, 0)),
-            pl.BlockSpec((kt, c, bco), lambda i, j, o: (0, 0, o)),
-            pl.BlockSpec((1, bco), lambda i, j, o: (0, o)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, t, bs, bco), lambda i, j, o: (i, 0, j, o)),
         out_shape=jax.ShapeDtypeStruct((bsz, t, x.shape[2], w.shape[2]), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -117,12 +166,12 @@ def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array, *,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * t * s * c * c_out * kt,
-            bytes_accessed=(x.size + w.size + bsz * t * s * c_out)
-            * x.dtype.itemsize,
+            bytes_accessed=(x.size + w.size + (2 if fuse_res else 1)
+                            * bsz * t * s * c_out) * x.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w, b.reshape(1, -1).astype(jnp.float32))
+    )(*args)
     if s_pad or co_pad:
         out = out[:, :, :s, :c_out]
     return out

@@ -226,3 +226,29 @@ def test_temporal_attention_kernel_and_fallback_match_reference():
                                      frames_kv=tkv, num_heads=h, interpret=interp)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=2e-5, rtol=2e-5)
+
+
+def test_fused_geglu_ff_ln_residual():
+    """geglu_ff with fused pre-LN + residual (interpret mode) == plain
+    x + FF(layer_norm(x)) composition."""
+    import numpy as np
+
+    from streamingt2v_tpu.ops.fused_ff import geglu_ff
+    from streamingt2v_tpu.ops.norms import layer_norm
+
+    rng = np.random.RandomState(1)
+    for n, c, inner in [(70, 48, 128), (300, 32, 256)]:
+        x = jnp.asarray(rng.randn(n, c), jnp.float32)
+        w1 = jnp.asarray(rng.randn(c, 2 * inner) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.randn(2 * inner) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.randn(inner, c) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        lns = jnp.asarray(rng.randn(c) * 0.2 + 1.0, jnp.float32)
+        lnb = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        out = geglu_ff(x, w1, b1, w2, b2, ln_scale=lns, ln_bias=lnb,
+                       residual=True, block_n=64, block_i=128, interpret=True)
+        h = layer_norm(x, lns, lnb)
+        a, b = jnp.split(h @ w1 + b1, 2, axis=-1)
+        ref = x + (a * jax.nn.gelu(b, approximate=False)) @ w2 + b2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5)
