@@ -402,7 +402,7 @@ class _ConvParams(nn.Module):
 
 
 def _time_conv(h, kernel, out_channels: int, name: str,
-               *, zero_init: bool = False, res=None, res_w=None):
+               *, zero_init: bool = False, res=None, res_w=None, gn=None):
     """(kt,1,1) temporal conv with nn.Conv-compatible params.
 
     On TPU the pure time-axis shape routes through the Pallas kernel
@@ -427,6 +427,8 @@ def _time_conv(h, kernel, out_channels: int, name: str,
         )
         use_pallas = fits_temporal_conv(t, c, out_channels, kt)
     if not use_pallas:
+        if gn is not None:
+            h = group_norm(h, gn[0], gn[1], eps=1e-5, act="silu")
         ki = {"kernel_init": nn.initializers.zeros} if zero_init else {}
         out = nn.Conv(out_channels, kernel, name=name, **ki)(h)
         if res is not None:
@@ -435,12 +437,21 @@ def _time_conv(h, kernel, out_channels: int, name: str,
 
     w, bias = _ConvParams((kt, 1, 1, c, out_channels), zero_init=zero_init,
                           name=name)()
+    if gn is not None:
+        # GN+SiLU fused into the conv's input read: GN is a per-(row,
+        # channel) affine once its stats are known (ops/norms.py)
+        from streamingt2v_tpu.ops.norms import group_norm_affine
+
+        pa, pb = group_norm_affine(h, gn[0], gn[1], eps=1e-5)
+    else:
+        pa = pb = None
     out = temporal_conv(
         h.reshape(b, t, hh * ww, c),
         w.reshape(kt, c, out_channels).astype(h.dtype),
         bias.astype(jnp.float32),
         None if res is None else res.reshape(b, t, hh * ww, out_channels),
         res_w,
+        pa, pb,
     )
     return out.reshape(b, t, hh, ww, out_channels)
 
@@ -461,18 +472,18 @@ class TemporalUNetResBlock(nn.Module):
         collapses to this form (see UNetVideoResBlock)."""
         c = x.shape[-1]
         s1, b1 = _gn_params(self, "in_norm", c)
-        h = group_norm(x, s1, b1, eps=1e-5, act="silu")
-        h = _time_conv(h, self.kernel, self.out_channels, "in_conv")
+        h = _time_conv(x, self.kernel, self.out_channels, "in_conv",
+                       gn=(s1, b1))
         e = nn.Dense(self.out_channels, name="emb_proj")(jax.nn.silu(emb.astype(jnp.float32)).astype(emb.dtype))
         h = h + e[:, :, None, None, :]
         s2, b2 = _gn_params(self, "out_norm", self.out_channels)
-        h = group_norm(h, s2, b2, eps=1e-5, act="silu")
         if c != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="skip")(x)
         if blend_weight is None:
             blend_weight = jnp.ones(x.shape[:2], jnp.float32)
         return _time_conv(h, self.kernel, self.out_channels, "out_conv",
-                          zero_init=True, res=x, res_w=blend_weight)
+                          zero_init=True, res=x, res_w=blend_weight,
+                          gn=(s2, b2))
 
 
 class UNetVideoResBlock(nn.Module):

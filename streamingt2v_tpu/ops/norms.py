@@ -110,6 +110,46 @@ def group_norm(
     return out.astype(orig_dtype)
 
 
+def group_norm_affine(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+) -> tuple:
+    """GroupNorm reduced to a per-(batch-row, channel) affine: returns
+    (a, b) f32 of shape (N, C) such that
+    group_norm(x, scale, bias, act=act) == act(x * a[:, None..] + b).
+    Lets consumers (the Pallas temporal conv) fuse the normalize+act pass
+    into their input read instead of materializing it (docs/PERF.md).
+    Stats via the same MXU matmul group sums as group_norm."""
+    c = x.shape[-1]
+    num_groups = min(num_groups, c)
+    assert c % num_groups == 0, (c, num_groups)
+    lead = x.shape[0]
+    l = 1
+    for d in x.shape[1:-1]:
+        l *= d
+    xs = x.reshape(lead, l, c)
+    ghot = jnp.equal(
+        jnp.arange(c)[:, None] // (c // num_groups),
+        jnp.arange(num_groups)[None, :],
+    ).astype(x.dtype)
+    cnt = l * (c // num_groups)
+    s1 = jnp.einsum("nlc,cg->ng", xs, ghot, preferred_element_type=jnp.float32)
+    s2 = jnp.einsum("nlc,cg->ng", xs * xs, ghot,
+                    preferred_element_type=jnp.float32)
+    mean_g = s1 / cnt
+    inv_g = jax.lax.rsqrt(jnp.maximum(s2 / cnt - mean_g * mean_g, 0.0) + eps)
+    rep = c // num_groups
+    mean = jnp.repeat(mean_g, rep, axis=1)   # (N, C)
+    inv = jnp.repeat(inv_g, rep, axis=1)
+    a = inv * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean * a
+    return a, b
+
+
 def layer_norm(
     x: jax.Array,
     scale: Optional[jax.Array] = None,

@@ -27,19 +27,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, kt, t):
-    _conv_body(x_ref, w_ref, b_ref, o_ref, None, None, kt=kt, t=t)
+    _conv_body(x_ref, w_ref, b_ref, o_ref, None, None, None, None, kt=kt, t=t)
 
 
 def _kernel_res(x_ref, w_ref, b_ref, res_ref, rw_ref, o_ref, *, kt, t):
-    _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, kt=kt, t=t)
+    _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, None, None,
+               kt=kt, t=t)
 
 
-def _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, *, kt, t):
+def _kernel_pre(x_ref, w_ref, b_ref, pa_ref, pb_ref, o_ref, *, kt, t):
+    _conv_body(x_ref, w_ref, b_ref, o_ref, None, None, pa_ref, pb_ref,
+               kt=kt, t=t)
+
+
+def _kernel_pre_res(x_ref, w_ref, b_ref, pa_ref, pb_ref, res_ref, rw_ref,
+                    o_ref, *, kt, t):
+    _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, pa_ref, pb_ref,
+               kt=kt, t=t)
+
+
+def _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, pa_ref, pb_ref,
+               *, kt, t):
     # x_ref: (1, T, bs, C); w_ref: (kt, C, bco); b_ref: (1, bco)
-    # res_ref: (1, T, bs, bco) residual; rw_ref: (1, T) per-frame weight
+    # res_ref: (1, T, bs, bco) residual; rw_ref: (B, T) per-frame weight
+    # pa_ref/pb_ref: (B, C) per-(row, channel) input affine (fused GN+SiLU
+    # prologue: xn = silu(x*a + b))
     # o_ref: (1, T, bs, bco)
     bs = x_ref.shape[2]
     bco = o_ref.shape[3]
+    if pa_ref is not None:
+        i = pl.program_id(0)
+        pa = pa_ref[i]  # (C,) f32, lane-aligned broadcast below
+        pb = pb_ref[i]
+        xin = x_ref[0].astype(jnp.float32) * pa + pb
+        xin = (xin * jax.nn.sigmoid(xin)).astype(x_ref.dtype)  # silu
+    else:
+        xin = x_ref[0]
     acc = jnp.zeros((t * bs, bco), jnp.float32)
     lo = kt // 2
     for k in range(kt):
@@ -50,7 +73,7 @@ def _conv_body(x_ref, w_ref, b_ref, o_ref, res_ref, rw_ref, *, kt, t):
         tt = t - x0 - o0
         if tt <= 0:
             continue
-        xs = x_ref[0, x0:x0 + tt]  # (tt, bs, C)
+        xs = xin[x0:x0 + tt]  # (tt, bs, C)
         part = jax.lax.dot(
             xs.reshape(tt * bs, x_ref.shape[3]), w_ref[k],
             preferred_element_type=jnp.float32,
@@ -102,7 +125,9 @@ def _pick_blocks(t: int, s: int, c: int, c_out: int, kt: int, dsize: int,
 @functools.partial(jax.jit, static_argnames=("interpret", "block_s", "block_co"))
 def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array,
                   res: "jax.Array | None" = None,
-                  res_w: "jax.Array | None" = None, *,
+                  res_w: "jax.Array | None" = None,
+                  pre_a: "jax.Array | None" = None,
+                  pre_b: "jax.Array | None" = None, *,
                   block_s: int = 0, block_co: int = 0,
                   interpret: bool = False) -> jax.Array:
     """x: (B, T, S, C); w: (kt, C, C_out); b: (C_out,) -> (B, T, S, C_out).
@@ -119,6 +144,9 @@ def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array,
     if fuse_res:
         assert res.shape == (bsz, t, s, c_out), (res.shape, x.shape)
         assert res_w is not None and res_w.shape == (bsz, t), res_w
+    fuse_pre = pre_a is not None
+    if fuse_pre:
+        assert pre_a.shape == (bsz, c) and pre_b.shape == (bsz, c)
 
     bs, bco = _pick_blocks(t, s, c, c_out, kt, max(x.dtype.itemsize, 2),
                            fuse_res)
@@ -144,16 +172,25 @@ def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array,
         pl.BlockSpec((1, bco), lambda i, j, o: (0, o)),
     ]
     args = [x, w, b.reshape(1, -1).astype(jnp.float32)]
+    if fuse_pre:
+        # full-array VMEM residency (block == array dims); row-indexed by
+        # program_id(0) in-kernel
+        in_specs += [
+            pl.BlockSpec((bsz, c), lambda i, j, o: (0, 0)),
+            pl.BlockSpec((bsz, c), lambda i, j, o: (0, 0)),
+        ]
+        args += [pre_a.astype(jnp.float32), pre_b.astype(jnp.float32)]
     if fuse_res:
-        kernel = functools.partial(_kernel_res, kt=kt, t=t)
         in_specs += [
             pl.BlockSpec((1, t, bs, bco), lambda i, j, o: (i, 0, j, o)),
             # scalars in SMEM; the kernel indexes [program_id(0), t]
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         args += [res, res_w.astype(jnp.float32)]
-    else:
-        kernel = functools.partial(_kernel, kt=kt, t=t)
+    kernel = functools.partial(
+        _kernel_pre_res if (fuse_pre and fuse_res) else
+        _kernel_pre if fuse_pre else
+        _kernel_res if fuse_res else _kernel, kt=kt, t=t)
 
     out = pl.pallas_call(
         kernel,
