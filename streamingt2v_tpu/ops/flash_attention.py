@@ -117,6 +117,34 @@ def _pick_block(length: int, maximum: int, granule: int) -> int:
     return best_b
 
 
+def _attention_reference(q, k, v):
+    """Pure-jnp f32 reference attention (the custom VJP of the Pallas
+    forward — Pallas cannot differentiate the kernel; training/remat get
+    ordinary XLA attention math for the backward)."""
+    d = q.shape[-1]
+    s = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * (d ** -0.5)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q, k, v, block_q, block_k, interpret):
+    return _flash_pallas(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_core_fwd(q, k, v, block_q, block_k, interpret):
+    return _flash_pallas(q, k, v, block_q, block_k, interpret), (q, k, v)
+
+
+def _flash_core_bwd(block_q, block_k, interpret, saved, g):
+    _, vjp = jax.vjp(_attention_reference, *saved)
+    return vjp(g)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(
     q: jax.Array,
@@ -128,6 +156,10 @@ def flash_attention(
     interpret: bool = False,
 ) -> jax.Array:
     """Softmax attention over (B, L, D) tensors, B = batch*heads."""
+    return _flash_core(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_pallas(q, k, v, block_q, block_k, interpret):
     assert q.ndim == 3 and k.ndim == 3 and v.ndim == 3
     b, lq, d = q.shape
     _, lk, _ = k.shape

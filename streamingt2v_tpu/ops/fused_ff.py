@@ -170,6 +170,58 @@ def _budget_blocks(c: int, c_out: int, dsize: int,
     return best
 
 
+def _ff_reference(x, w1, b1, w2, b2, ln_scale, ln_bias, residual):
+    """Pure-jnp f32 reference of the fused op, used as the VJP of the
+    Pallas forward (Pallas autodiff cannot differentiate these kernels;
+    the backward runs as ordinary XLA math)."""
+    inner = w2.shape[0]
+    h = x.astype(jnp.float32)
+    if ln_scale is not None:
+        mean = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(h * h, axis=-1, keepdims=True)
+                          - mean * mean, 0.0)
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = h * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    z = h @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    a, b = z[..., :inner], z[..., inner:]
+    g = a * jax.nn.gelu(b, approximate=False)
+    out = g @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    if residual:
+        out = x.astype(jnp.float32) + out
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _geglu_core(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                residual, block_n, block_i, interpret):
+    return _geglu_pallas(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                         residual, block_n, block_i, interpret)
+
+
+def _geglu_core_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                    residual, block_n, block_i, interpret):
+    out = _geglu_pallas(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                        residual, block_n, block_i, interpret)
+    return out, (x, w1, b1, w2, b2, ln_scale, ln_bias)
+
+
+def _geglu_core_bwd(residual, block_n, block_i, interpret, saved, g):
+    x, w1, b1, w2, b2, ln_scale, ln_bias = saved
+    if ln_scale is None:
+        def f(x_, w1_, b1_, w2_, b2_):
+            return _ff_reference(x_, w1_, b1_, w2_, b2_, None, None, residual)
+        _, vjp = jax.vjp(f, x, w1, b1, w2, b2)
+        gx, gw1, gb1, gw2, gb2 = vjp(g)
+        return gx, gw1, gb1, gw2, gb2, None, None
+    _, vjp = jax.vjp(
+        lambda *a: _ff_reference(*a, residual), x, w1, b1, w2, b2,
+        ln_scale, ln_bias)
+    return vjp(g)
+
+
+_geglu_core.defvjp(_geglu_core_fwd, _geglu_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_i", "residual",
                                              "interpret"))
 def geglu_ff(
@@ -186,6 +238,14 @@ def geglu_ff(
     block_i: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
+    if ln_scale is not None and ln_bias is None:
+        ln_bias = jnp.zeros(x.shape[-1:], jnp.float32)
+    return _geglu_core(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                       residual, block_n, block_i, interpret)
+
+
+def _geglu_pallas(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                  residual, block_n, block_i, interpret):
     lead = x.shape[:-1]
     c = x.shape[-1]
     inner = w2.shape[0]

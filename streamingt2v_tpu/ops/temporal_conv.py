@@ -122,6 +122,58 @@ def _pick_blocks(t: int, s: int, c: int, c_out: int, kt: int, dsize: int,
     return 8, 128
 
 
+def _tc_reference(x, w, b, res, res_w, pre_a, pre_b):
+    """Pure-jnp f32 reference (the custom VJP of the Pallas forward)."""
+    kt = w.shape[0]
+    lo = kt // 2
+    t = x.shape[1]
+    h = x.astype(jnp.float32)
+    if pre_a is not None:
+        h = h * pre_a[:, None, None, :] + pre_b[:, None, None, :]
+        h = h * jax.nn.sigmoid(h)
+    hp = jnp.pad(h, ((0, 0), (lo, kt - 1 - lo), (0, 0), (0, 0)))
+    out = sum(
+        jnp.einsum("btsc,cd->btsd", hp[:, k:k + t], w[k].astype(jnp.float32))
+        for k in range(kt)
+    ) + b.astype(jnp.float32)
+    if res is not None:
+        out = res.astype(jnp.float32) + res_w[:, :, None, None] * out
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _tc_core(x, w, b, res, res_w, pre_a, pre_b,
+             block_s, block_co, interpret):
+    return _tc_pallas(x, w, b, res, res_w, pre_a, pre_b,
+                      block_s, block_co, interpret)
+
+
+def _tc_core_fwd(x, w, b, res, res_w, pre_a, pre_b,
+                 block_s, block_co, interpret):
+    out = _tc_pallas(x, w, b, res, res_w, pre_a, pre_b,
+                     block_s, block_co, interpret)
+    return out, (x, w, b, res, res_w, pre_a, pre_b)
+
+
+def _tc_core_bwd(block_s, block_co, interpret, saved, g):
+    x, w, b, res, res_w, pre_a, pre_b = saved
+    live = [i for i, a in enumerate(saved) if a is not None]
+    def f(*diff_args):
+        full = list(saved)
+        for i, a in zip(live, diff_args):
+            full[i] = a
+        return _tc_reference(*full)
+    _, vjp = jax.vjp(f, *[saved[i] for i in live])
+    grads_live = vjp(g)
+    out = [None] * 7
+    for i, gr in zip(live, grads_live):
+        out[i] = gr
+    return tuple(out)
+
+
+_tc_core.defvjp(_tc_core_fwd, _tc_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_s", "block_co"))
 def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array,
                   res: "jax.Array | None" = None,
@@ -137,6 +189,12 @@ def temporal_conv(x: jax.Array, w: jax.Array, b: jax.Array,
     `res + res_w[b,t] * conv` in-kernel — the UNet VideoResBlock's
     residual-add + AlphaBlender collapse to exactly this form, saving the
     separate add and blend HBM passes (docs/PERF.md)."""
+    return _tc_core(x, w, b, res, res_w, pre_a, pre_b,
+                    block_s, block_co, interpret)
+
+
+def _tc_pallas(x, w, b, res, res_w, pre_a, pre_b,
+               block_s, block_co, interpret):
     bsz, t, s, c = x.shape
     kt, wc, c_out = w.shape
     assert wc == c, (w.shape, x.shape)

@@ -252,3 +252,57 @@ def test_fused_geglu_ff_ln_residual():
         ref = x + (a * jax.nn.gelu(b, approximate=False)) @ w2 + b2
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-5, rtol=5e-5)
+
+
+def test_fused_kernels_differentiable():
+    """The Pallas ops carry reference-math custom VJPs, so jax.grad works
+    through the TPU paths (training / jax.checkpoint remat)."""
+    import numpy as np
+
+    from streamingt2v_tpu.ops.flash_attention import flash_attention
+    from streamingt2v_tpu.ops.fused_ff import geglu_ff
+    from streamingt2v_tpu.ops.temporal_conv import temporal_conv
+
+    rng = np.random.RandomState(0)
+    # geglu_ff with LN + residual
+    x = jnp.asarray(rng.randn(40, 32), jnp.float32)
+    w1 = jnp.asarray(rng.randn(32, 256) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(128, 32) * 0.1, jnp.float32)
+    b2 = jnp.zeros((32,), jnp.float32)
+    lns = jnp.ones((32,), jnp.float32)
+
+    def loss_ff(w1):
+        out = geglu_ff(x, w1, b1, w2, b2, ln_scale=lns, residual=True,
+                       block_n=40, block_i=128, interpret=True)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss_ff)(w1)
+    assert g.shape == w1.shape and bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+    # temporal conv with prologue + residual epilogue
+    xt = jnp.asarray(rng.randn(2, 5, 16, 24), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 24, 24) * 0.1, jnp.float32)
+    b = jnp.zeros((24,), jnp.float32)
+    res = jnp.asarray(rng.randn(2, 5, 16, 24), jnp.float32)
+    rw = jnp.asarray(rng.rand(2, 5), jnp.float32)
+    pa = jnp.ones((2, 24), jnp.float32)
+    pb = jnp.zeros((2, 24), jnp.float32)
+
+    def loss_tc(w):
+        return jnp.sum(temporal_conv(xt, w, b, res, rw, pa, pb,
+                                     interpret=True) ** 2)
+
+    gt = jax.grad(loss_tc)(w)
+    assert gt.shape == w.shape and bool(jnp.all(jnp.isfinite(gt)))
+
+    # flash attention
+    q = jnp.asarray(rng.randn(2, 16, 64), jnp.float32)
+
+    def loss_fa(q):
+        return jnp.sum(flash_attention(q, q, q, block_q=16, block_k=128,
+                                       interpret=True) ** 2)
+
+    gq = jax.grad(loss_fa)(q)
+    assert gq.shape == q.shape and bool(jnp.all(jnp.isfinite(gq)))
