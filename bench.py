@@ -174,10 +174,21 @@ def bench_vae() -> None:
 
     chunk = jnp.asarray(rng.rand(1, T, H, W, 3) * 2 - 1, jnp.float32)
 
+    # Chunked like the reference pipeline: encode per 8 frames, temporal
+    # decode per 4 (streaming_svd.py:123-151 decode_chunk_size; a 16-frame
+    # f32 whole-roundtrip program needs ~18 GB of HBM and cannot fit).
     @jax.jit
     def roundtrip(params, x, key):
-        y = vae.apply(params, x, key)  # encode (per frame) + temporal decode
-        return y[0, 0, 0, 0, 0]
+        zs = []
+        for i in range(0, T, 8):
+            xe = x[:, i:i + 8].reshape((-1,) + x.shape[2:])
+            zi = vae.apply(params, xe, key, method="encode")
+            zs.append(zi.reshape((1, -1) + zi.shape[1:]))
+        z = jnp.concatenate(zs, axis=1)
+        ys = []
+        for i in range(0, T, 4):
+            ys.append(vae.apply(params, z[:, i:i + 4], method="decode"))
+        return jnp.concatenate(ys, axis=1)[0, 0, 0, 0, 0]
 
     rtt = measure_rtt()
     t0 = time.time()

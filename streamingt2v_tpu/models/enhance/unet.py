@@ -341,8 +341,21 @@ class I2VGenXLUNet(nn.Module):
                                             cfg.attention_head_dim, groups,
                                             name=f"up_{i}_tattn_{j}")(h)
             if i < n_blocks - 1:
-                def upsample(x2d, c_out=c_out, name=f"up_{i}_upsample"):
-                    x2d = jnp.repeat(jnp.repeat(x2d, 2, axis=1), 2, axis=2)
+                # diffusers passes `upsample_size` from the next skip so
+                # odd spatial dims round-trip (e.g. 23 -> 12 -> 23 at
+                # 720p): F.interpolate(size=skip_hw, mode="nearest")
+                # (unet_3d_blocks.py CrossAttnUpBlock3D forward).  For the
+                # exact-2x case floor-index nearest == repeat.
+                th, tw = hs[-1].shape[2], hs[-1].shape[3]
+
+                def upsample(x2d, c_out=c_out, name=f"up_{i}_upsample",
+                             th=th, tw=tw):
+                    ih, iw = x2d.shape[1], x2d.shape[2]
+                    if (th, tw) == (2 * ih, 2 * iw):
+                        x2d = jnp.repeat(jnp.repeat(x2d, 2, axis=1), 2, axis=2)
+                    else:
+                        x2d = jnp.take(x2d, (jnp.arange(th) * ih) // th, axis=1)
+                        x2d = jnp.take(x2d, (jnp.arange(tw) * iw) // tw, axis=2)
                     return nn.Conv(c_out, (3, 3), name=name)(x2d)
                 h = spatial(h, upsample)
 

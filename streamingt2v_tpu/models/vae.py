@@ -134,15 +134,20 @@ class TemporalResStack(nn.Module):
     kernel: Tuple[int, int, int] = (3, 1, 1)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, blend_weight=None):
+        """`blend_weight` ((B, T) f32): fused x + bw * out_conv(...) —
+        the VAE AlphaBlender collapses onto the temporal-conv epilogue
+        exactly like the UNet case (unet_blocks._time_conv)."""
+        from streamingt2v_tpu.models.unet_blocks import _time_conv
+
         c = x.shape[-1]
         s1, b1 = _gn_params(self, "in_norm", c)
-        h = group_norm(x, s1, b1, eps=1e-5, act="silu")
-        h = nn.Conv(c, self.kernel, name="in_conv")(h)
+        h = _time_conv(x, self.kernel, c, "in_conv", gn=(s1, b1))
         s2, b2 = _gn_params(self, "out_norm", c)
-        h = group_norm(h, s2, b2, eps=1e-5, act="silu")
-        h = nn.Conv(c, self.kernel, kernel_init=nn.initializers.zeros, name="out_conv")(h)
-        return x + h
+        if blend_weight is None:
+            blend_weight = jnp.ones(x.shape[:2], jnp.float32)
+        return _time_conv(h, self.kernel, c, "out_conv", zero_init=True,
+                          res=x, res_w=blend_weight, gn=(s2, b2))
 
 
 class VideoResBlock(nn.Module):
@@ -157,11 +162,14 @@ class VideoResBlock(nn.Module):
         b, t, hh, ww, c = x.shape
         h = ResnetBlock(self.out_channels, name="spatial")(x.reshape(b * t, hh, ww, c))
         h = h.reshape(b, t, hh, ww, self.out_channels)
-        h_time = TemporalResStack(self.video_kernel_size, name="time_stack")(h)
         mix = self.param("mix_factor", nn.initializers.zeros, (1,))
-        alpha = jax.nn.sigmoid(mix.astype(jnp.float32)).astype(h.dtype)[0]
-        # alpha weights the TEMPORAL branch here (temporal_ae.py:74-79)
-        return alpha * h_time + (1.0 - alpha) * h
+        alpha = jax.nn.sigmoid(mix.astype(jnp.float32))
+        # alpha weights the TEMPORAL branch here (temporal_ae.py:74-79):
+        # alpha*(h + conv) + (1-alpha)*h = h + alpha*conv, fused into the
+        # time_stack's out_conv epilogue.
+        bw = jnp.broadcast_to(alpha, (b, t)).astype(jnp.float32)
+        return TemporalResStack(self.video_kernel_size, name="time_stack")(
+            h, blend_weight=bw)
 
 
 class AE3DConv(nn.Module):
@@ -173,10 +181,15 @@ class AE3DConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from streamingt2v_tpu.models.unet_blocks import _time_conv
+
         b, t, hh, ww, c = x.shape
         h = nn.Conv(self.out_channels, (3, 3), name="conv")(x.reshape(b * t, hh, ww, c))
         h = h.reshape(b, t, hh, ww, self.out_channels)
-        return nn.Conv(self.out_channels, self.video_kernel_size, name="time_mix_conv")(h)
+        # (3,1,1) time mix: Pallas temporal conv on TPU (same routing and
+        # param layout as the UNet temporal ResBlocks, unet_blocks._time_conv)
+        return _time_conv(h, self.video_kernel_size, self.out_channels,
+                          "time_mix_conv")
 
 
 class VideoDecoder(nn.Module):

@@ -174,6 +174,24 @@ def _flash_pallas(q, k, v, block_q, block_k, interpret):
     k = _pad_to(k, 2, d_pad)
     v = _pad_to(v, 2, d_pad)
 
+    # Clamp blocks to the scoped-VMEM budget: the default 1024 blocks are
+    # sized for the UNet's d=64 bf16 geometry; the VAE bottleneck runs a
+    # single 512-dim f32 head and blew the 16M cap (measured: 19M).
+    isz = max(q.dtype.itemsize, 2)
+
+    def _vmem(bq, bk):
+        return (2 * isz * bq * d_pad      # q in, double-buffered
+                + 2 * 2 * isz * bk * d_pad  # k+v in
+                + 2 * isz * bq * d_pad    # out
+                + 2 * 4 * bq * 128        # m/l scratch
+                + 4 * bq * d_pad)         # f32 acc scratch
+
+    budget = 12 * 1024 * 1024
+    while _vmem(block_q, block_k) > budget and (block_q > 256 or block_k > 256):
+        if block_q >= block_k and block_q > 256:
+            block_q //= 2
+        else:
+            block_k //= 2
     block_q = _pick_block(lq, block_q, 8)
     block_k = _pick_block(lk, block_k, 128)
     qp = _pad_to(q, 1, block_q)

@@ -69,7 +69,11 @@ def group_norm(
     for d in x.shape[1:-1]:
         l *= d
     xs = x.reshape(lead, l, c)
-    if l * (c // num_groups) >= 1 << 14 and c % num_groups == 0:
+    if (l * (c // num_groups) >= 1 << 14 and c % num_groups == 0
+            and x.dtype == jnp.bfloat16):
+        # bf16 only: for f32 inputs (the VAE) there is no upcast copy to
+        # avoid, and the einsum path materializes x*x — an extra
+        # full-size f32 tensor that OOMed the 720p VAE encode.
         # Large reduce span: per-group sums via MXU matmuls against a
         # one-hot (C, G) matrix.  XLA's strided group reduction (minor-dim
         # partial reduce of width C/G) ran at 13-25 ms per instance at the

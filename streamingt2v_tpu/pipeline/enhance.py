@@ -89,16 +89,28 @@ class EnhancePipeline:
 
     def _denoise_chunk_impl(self, unet_params, latents_chunk, t, prompt_embeds,
                             clip_emb, image_latents, fps, *, num_inference_steps):
-        """One CFG-guided DDIM step on one chunk.  latents_chunk (1,T,h,w,4)."""
+        """One CFG-guided DDIM step on one chunk.  latents_chunk (1,T,h,w,4).
+
+        The CFG halves run SEQUENTIALLY (lax.map): a batched 2x38-frame
+        720p I2VGenXL forward peaks past the 16 GB of one v5e chip; the
+        sequential form halves activation memory at full MXU efficiency
+        (38 frame-rows per call) — the TPU-native replacement for the
+        reference's `use_memopt` chunked block execution
+        (unet_i2vgen_xl.py:51-106)."""
         m = self.m
-        x_in = jnp.concatenate([latents_chunk, latents_chunk], axis=0)
-        t_vec = jnp.full((2,), t, jnp.int32)
-        fps_vec = jnp.full((2,), fps, jnp.float32)
-        noise_pred = m.unet.apply(
-            unet_params, x_in, t_vec, fps_vec, image_latents, clip_emb, prompt_embeds
-        )
-        eps_u, eps_c = jnp.split(noise_pred, 2, axis=0)
-        eps = eps_u + self.cfg.guidance_scale * (eps_c - eps_u)
+        t_vec = jnp.full((1,), t, jnp.int32)
+        fps_vec = jnp.full((1,), fps, jnp.float32)
+
+        def half(cond):
+            pe_i, ce_i, il_i = cond
+            return m.unet.apply(
+                unet_params, latents_chunk, t_vec, fps_vec, il_i[None],
+                ce_i[None], pe_i[None]
+            )[0]
+
+        eps_u, eps_c = jax.lax.map(
+            half, (prompt_embeds, clip_emb, image_latents))
+        eps = (eps_u + self.cfg.guidance_scale * (eps_c - eps_u))[None]
         return m.scheduler.step(eps, t, latents_chunk, num_inference_steps)
 
     def _denoise_video_impl(self, unet_params, latents, timesteps, prompt_embeds,
@@ -156,19 +168,31 @@ class EnhancePipeline:
 
     # ---------- video latents ----------
 
+    @staticmethod
+    def _vae_chunk_frames(h: int, w: int) -> int:
+        """Frames per fp32 VAE call: the encoder/decoder's full-resolution
+        128-channel activations cost H*W*512 bytes/frame; budget ~2 GB per
+        live tensor so a 720p enhance fits one 16 GB chip (the reference
+        instead chunks by 16 at fp16 on GPU, pipeline_i2vgen_xl.py:586-596,
+        and decodes with decode_chunk_size=1, :384-395)."""
+        return max(1, min(16, (1 << 30) // (h * w * 512)))
+
     def _encode_video(self, video: jax.Array, key: jax.Array) -> jax.Array:
         """(F, H, W, 3) -> sampled, scaled latents (1, F, h, w, 4)."""
+        step = self._vae_chunk_frames(video.shape[1], video.shape[2])
         zs = []
-        for start in range(0, video.shape[0], 16):
-            chunk = video[start : start + 16]
+        for start in range(0, video.shape[0], step):
+            chunk = video[start : start + step]
             zs.append(self.m.vae.apply(
                 self.m.vae_params, chunk, jax.random.fold_in(key, start),
                 method=AutoencoderKL.encode,
             ))
         return jnp.concatenate(zs, axis=0)[None]
 
-    def _decode_latents(self, latents: jax.Array, decode_chunk: int = 8) -> jax.Array:
+    def _decode_latents(self, latents: jax.Array, decode_chunk: int = 0) -> jax.Array:
         z = latents[0]
+        decode_chunk = decode_chunk or self._vae_chunk_frames(
+            z.shape[1] * 8, z.shape[2] * 8)
         outs = []
         for start in range(0, z.shape[0], decode_chunk):
             outs.append(self.m.vae.apply(
