@@ -218,11 +218,14 @@ def _build_stage1(num_frames: int = 200):
     cfg = PipelineConfig(num_frames=num_frames)
     t0 = time.time()
     pipe = build_pipeline(cfg, seed=0, clip_cfg=CLIPVisionConfig())
+    # conditioner (CLIP ViT-H + cond-VAE) in bf16 too: the reference runs
+    # its embedders under fp16 autocast; the f32 tower costs 2.5 GB of HBM
     pipe.models = dataclasses.replace(
         pipe.models,
         unet_params=to_bf16(pipe.models.unet_params),
         controlnet_params=to_bf16(pipe.models.controlnet_params),
         svd_unet_params=to_bf16(pipe.models.svd_unet_params),
+        conditioner_params=to_bf16(pipe.models.conditioner_params),
     )
     log(f"build+init {time.time() - t0:.0f}s")
     return cfg, pipe
@@ -285,10 +288,13 @@ def _build_enhance():
     ct_params = jax.jit(clip_t.init)(jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
     log(f"enhance init {time.time() - t0:.0f}s")
 
+    # CLIP towers in bf16 (the reference runs them fp16): their f32 params
+    # cost 3 GB of HBM that the 38-frame 720p UNet step needs.
     models = EnhanceModels(
         unet=unet, unet_params=to_bf16(u_params), vae=vae, vae_params=v_params,
-        clip_vision=clip_v, clip_vision_params=cv_params,
-        text_encoder=clip_t, text_params=ct_params, scheduler=DDIMScheduler(),
+        clip_vision=clip_v, clip_vision_params=to_bf16(cv_params),
+        text_encoder=clip_t, text_params=to_bf16(ct_params),
+        scheduler=DDIMScheduler(),
     )
     return cfg, EnhancePipeline(cfg, models)
 

@@ -217,6 +217,10 @@ class EnhanceConfig:
     width: int = 1280
     fps: int = 16
     seed: int = 8888  # fixed enhancement seed (i2v_enhance_interface.py:66)
+    # compile the whole (steps x chunks) denoise as ONE program (scan) vs
+    # one program per step (default; avoids multi-minute single XLA
+    # executions that trip execution watchdogs on tunneled platforms)
+    one_program: bool = False
     # fixed quality prompts (i2v_enhance_interface.py:87-88)
     prompt: str = "High Quality, HQ, detailed."
     negative_prompt: str = (

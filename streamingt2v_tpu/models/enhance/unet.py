@@ -85,6 +85,8 @@ class TemporalConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from streamingt2v_tpu.models.unet_blocks import _time_conv
+
         c = x.shape[-1]
         identity = x
         specs = [
@@ -96,10 +98,16 @@ class TemporalConvLayer(nn.Module):
         h = x
         for i, (name, c_in, c_out) in enumerate(specs):
             s, b = _gn_params(self, f"{name}_norm", h.shape[-1])
-            h = group_norm(h, s, b, num_groups=self.groups, eps=1e-5, act="silu")
-            init = nn.initializers.zeros if name == "conv4" else nn.initializers.lecun_normal()
-            h = nn.Conv(c_out, (3, 1, 1), kernel_init=init, name=name)(h)
-        return identity + h
+            # GN+SiLU fused into the Pallas temporal conv's input read on
+            # TPU; last conv carries the fused residual epilogue
+            last = i == len(specs) - 1
+            h = _time_conv(
+                h, (3, 1, 1), c_out, name, zero_init=last,
+                gn=(s, b, self.groups),
+                res=identity if last else None,
+                res_w=jnp.ones(x.shape[:2], jnp.float32) if last else None,
+            )
+        return h
 
 
 class Transformer2D(nn.Module):

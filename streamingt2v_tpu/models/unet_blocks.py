@@ -428,7 +428,8 @@ def _time_conv(h, kernel, out_channels: int, name: str,
         use_pallas = fits_temporal_conv(t, c, out_channels, kt)
     if not use_pallas:
         if gn is not None:
-            h = group_norm(h, gn[0], gn[1], eps=1e-5, act="silu")
+            h = group_norm(h, gn[0], gn[1], num_groups=gn[2] if len(gn) > 2
+                           else 32, eps=1e-5, act="silu")
         ki = {"kernel_init": nn.initializers.zeros} if zero_init else {}
         out = nn.Conv(out_channels, kernel, name=name, **ki)(h)
         if res is not None:
@@ -442,7 +443,9 @@ def _time_conv(h, kernel, out_channels: int, name: str,
         # channel) affine once its stats are known (ops/norms.py)
         from streamingt2v_tpu.ops.norms import group_norm_affine
 
-        pa, pb = group_norm_affine(h, gn[0], gn[1], eps=1e-5)
+        pa, pb = group_norm_affine(h, gn[0], gn[1],
+                                   num_groups=gn[2] if len(gn) > 2 else 32,
+                                   eps=1e-5)
     else:
         pa = pb = None
     out = temporal_conv(

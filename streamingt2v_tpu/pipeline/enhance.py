@@ -72,6 +72,11 @@ class EnhancePipeline:
             static_argnames=("num_inference_steps", "chunk_size", "stride",
                              "overlap_size", "n_chunks"),
         )
+        self._denoise_step = jax.jit(
+            self._denoise_step_impl,
+            static_argnames=("num_inference_steps", "chunk_size", "stride",
+                             "overlap_size", "n_chunks"),
+        )
 
     # ---------- conditioning ----------
 
@@ -129,6 +134,28 @@ class EnhancePipeline:
         timesteps: (S,) int32.  Offsets reproduce the eager path bitwise:
         fold_in(offset_key, si, ci), zero for the first chunk.
         """
+        def step_body(latents, si_t):
+            si, t = si_t
+            return self._denoise_step_impl(
+                unet_params, latents, si, t, prompt_embeds, clip_embs,
+                image_latents, offset_key, fps,
+                num_inference_steps=num_inference_steps,
+                chunk_size=chunk_size, stride=stride,
+                overlap_size=overlap_size, n_chunks=n_chunks), None
+
+        latents, _ = jax.lax.scan(
+            step_body, latents,
+            (jnp.arange(timesteps.shape[0], dtype=jnp.int32), timesteps),
+        )
+        return latents
+
+    def _denoise_step_impl(self, unet_params, latents, si, t, prompt_embeds,
+                           clip_embs, image_latents, offset_key, fps, *,
+                           num_inference_steps, chunk_size, stride,
+                           overlap_size, n_chunks):
+        """One DDIM step over all blending chunks (fori_loop), randomized
+        write-back offsets drawn on-device.  Offsets reproduce the eager
+        path bitwise: fold_in(offset_key, si, ci), zero for chunk 0."""
         frame_idx = jnp.arange(chunk_size)[None, :, None, None, None]
 
         def chunk_body(ci, carry):
@@ -153,18 +180,10 @@ class EnhancePipeline:
             )
             return (latents, new_latents, t, si)
 
-        def step_body(latents, si_t):
-            si, t = si_t
-            _, new_latents, _, _ = jax.lax.fori_loop(
-                0, n_chunks, chunk_body, (latents, latents, t, si)
-            )
-            return new_latents, None
-
-        latents, _ = jax.lax.scan(
-            step_body, latents,
-            (jnp.arange(timesteps.shape[0], dtype=jnp.int32), timesteps),
+        _, new_latents, _, _ = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (latents, latents, t, si)
         )
-        return latents
+        return new_latents
 
     # ---------- video latents ----------
 
@@ -250,14 +269,27 @@ class EnhancePipeline:
         noise = jax.random.normal(stream.key(2), z0.shape, z0.dtype)
         latents = scheduler.add_noise(z0, noise, int(timesteps[0]))
 
-        latents = self._denoise_video(
-            self.m.unet_params, latents, jnp.asarray(timesteps, jnp.int32),
-            prompt_embeds,
-            jnp.stack([c for c, _ in conds]), jnp.stack([il for _, il in conds]),
-            stream.key(3), float(cfg.fps),
-            num_inference_steps=cfg.num_steps, chunk_size=chunk_size,
-            stride=max(stride, 1), overlap_size=overlap_size, n_chunks=n_chunks,
-        )
+        ts = jnp.asarray(timesteps, jnp.int32)
+        ce = jnp.stack([c for c, _ in conds])
+        il = jnp.stack([il for _, il in conds])
+        okey = stream.key(3)
+        common = dict(num_inference_steps=cfg.num_steps, chunk_size=chunk_size,
+                      stride=max(stride, 1), overlap_size=overlap_size,
+                      n_chunks=n_chunks)
+        if cfg.one_program:
+            latents = self._denoise_video(
+                self.m.unet_params, latents, ts, prompt_embeds, ce, il,
+                okey, float(cfg.fps), **common)
+        else:
+            # Default: one compiled program PER STEP, Python loop over the
+            # 30 steps with device-resident scalars (no host syncs).  The
+            # whole-video scan is a single multi-minute XLA execution at
+            # 720p, which trips execution watchdogs on tunneled platforms;
+            # per-step dispatch costs only ~n_steps x RTT.
+            for si in range(ts.shape[0]):
+                latents = self._denoise_step(
+                    self.m.unet_params, latents, jnp.int32(si), ts[si],
+                    prompt_embeds, ce, il, okey, float(cfg.fps), **common)
         return self._decode_latents(latents)
 
     def _encode_key_image_with_frames(self, image, key, num_frames):

@@ -230,3 +230,22 @@ def test_center_crop_wide():
     img = jnp.arange(5 * 8 * 1, dtype=jnp.float32).reshape(5, 8, 1)
     out = center_crop_wide(img, (4, 3))
     assert out.shape == (3, 4, 1)
+
+
+def test_enhance_per_step_equals_one_program(enhance_pipeline):
+    """Per-step dispatch (default) and the whole-video scan compile
+    granularities produce identical latents (same on-device offset PRNG)."""
+    import dataclasses as dc
+
+    pipe, ucfg = enhance_pipeline
+    rng = np.random.RandomState(1)
+    video = jnp.asarray(rng.rand(8, 32, 32, 3) * 2 - 1, jnp.float32)
+    keys = [jnp.asarray(rng.rand(32, 32, 3) * 2 - 1, jnp.float32) for _ in range(3)]
+    pe = jnp.asarray(rng.randn(2, 7, ucfg.cross_attention_dim), jnp.float32)
+    out_step = pipe.enhance(video, keys, prompt_embeds=pe,
+                            use_randomized_blending=True)
+    one = EnhancePipeline(dc.replace(pipe.cfg, one_program=True), pipe.m)
+    out_scan = one.enhance(video, keys, prompt_embeds=pe,
+                           use_randomized_blending=True)
+    np.testing.assert_allclose(np.asarray(out_step), np.asarray(out_scan),
+                               atol=1e-5, rtol=1e-5)
