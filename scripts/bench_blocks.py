@@ -96,8 +96,6 @@ def main():
     results = {}
 
     for li, (h, w, c) in enumerate(LEVELS):
-        if filt and filt not in f"res{li}":
-            pass
         x = jnp.asarray(rng.randn(B, T, h, w, c), jnp.bfloat16)
 
         if not filt or "res" in filt:

@@ -130,7 +130,8 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
 
-        if context is not None and context.shape[1] == 1 and pre is None:
+        if (context is not None and context.shape[1] == 1 and pre is None
+                and post is None):
             # Single-kv-token cross attention (the SVD pooled-CLIP context,
             # use_spatial_context with L=1): softmax over one key is exactly
             # 1.0, so the attention output IS v for every query — computing

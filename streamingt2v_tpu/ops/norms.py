@@ -26,6 +26,50 @@ import jax.numpy as jnp
 _FUSED_GN = os.environ.get("STREAMINGT2V_FUSED_GN", "0") == "1"
 
 
+def _group_stats_bf16(xs: jax.Array, c: int, num_groups: int):
+    """Per-group (mean, var) of bf16 xs: (N, L, C) -> two (N, G) f32.
+
+    Fast path: one-pass E[x^2]-E[x]^2 with both sums as MXU matmuls
+    against a one-hot (C, G) matrix; the f32 accumulation is exact, but
+    bf16 x*x rounds each square by up to 2^-8 relative, so when a group
+    sits at a large common offset with a small spread — var/E[x^2]
+    below ~2^-6, i.e. std < ~12% of |mean| — the subtraction amplifies
+    that rounding into a wrong (even clamped-to-zero) variance.  A
+    lax.cond re-computes E[(x-mean)^2] through a second matmul pass only
+    when any group is inside that cancellation floor, so the common case
+    pays nothing.  Pinned by
+    tests/test_ops.py::test_group_norm_large_offset_low_variance."""
+    cnt = xs.shape[1] * (c // num_groups)
+    ghot = jnp.equal(
+        jnp.arange(c)[:, None] // (c // num_groups),
+        jnp.arange(num_groups)[None, :],
+    ).astype(xs.dtype)
+    s1 = jnp.einsum("nlc,cg->ng", xs, ghot, preferred_element_type=jnp.float32)
+    s2 = jnp.einsum("nlc,cg->ng", xs * xs, ghot,
+                    preferred_element_type=jnp.float32)
+    mean_g = s1 / cnt
+    m2 = mean_g * mean_g
+    var_fast = jnp.maximum(s2 / cnt - m2, 0.0)
+    # bf16 square rounding floor: err(E[x^2]) can reach ~2^-9 * E[x^2]
+    # systematically; require var to clear it with an 8x margin.
+    floor = (m2 + var_fast) * (2.0 ** -6)
+    suspicious = jnp.any(var_fast < floor)
+
+    rep = c // num_groups
+
+    def _robust(_):
+        # subtract the (accurately known) group mean before squaring; the
+        # differences are small so their bf16 squares are well-resolved.
+        mc = jnp.repeat(mean_g, rep, axis=1)[:, None, :].astype(xs.dtype)
+        d = xs - mc
+        sd = jnp.einsum("nlc,cg->ng", d * d, ghot,
+                        preferred_element_type=jnp.float32)
+        return jnp.maximum(sd / cnt, 0.0)
+
+    var_g = jax.lax.cond(suspicious, _robust, lambda _: var_fast, None)
+    return mean_g, var_g
+
+
 def group_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -77,20 +121,8 @@ def group_norm(
         # Large reduce span: per-group sums via MXU matmuls against a
         # one-hot (C, G) matrix.  XLA's strided group reduction (minor-dim
         # partial reduce of width C/G) ran at 13-25 ms per instance at the
-        # production geometry; the matmul form is bandwidth-bound
-        # (~0.5 ms).  x^2 in bf16 is unbiased rounding — the averaged
-        # E[x^2] error is ~1e-4 relative, far inside golden tolerance.
-        ghot = jnp.equal(
-            jnp.arange(c)[:, None] // (c // num_groups),
-            jnp.arange(num_groups)[None, :],
-        ).astype(x.dtype)
-        cnt = l * (c // num_groups)
-        s1 = jnp.einsum("nlc,cg->ng", xs, ghot,
-                        preferred_element_type=jnp.float32)
-        s2 = jnp.einsum("nlc,cg->ng", xs * xs, ghot,
-                        preferred_element_type=jnp.float32)
-        mean_g = s1 / cnt
-        var_g = jnp.maximum(s2 / cnt - mean_g * mean_g, 0.0)
+        # production geometry; the matmul form is bandwidth-bound (~0.5 ms).
+        mean_g, var_g = _group_stats_bf16(xs, c, num_groups)
         inv_g = jax.lax.rsqrt(var_g + eps)
         rep = c // num_groups
         mean = jnp.repeat(mean_g, rep, axis=1)[:, None, :]   # (N, 1, C)
@@ -98,12 +130,17 @@ def group_norm(
         xf = (xs.astype(jnp.float32) - mean) * inv
         out = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     else:
+        # Fallback path (f32 inputs / small spans): two-pass shifted
+        # variance — E[(x-mean)^2] — so a large common offset cannot
+        # cancel the small variance (E[x^2]-E[x]^2 in f32 loses ~7 digits
+        # when std/|mean| ~ 1e-4).  These tensors are small or already
+        # f32, so the extra materialization the one-pass form avoids on
+        # the bf16 hot path does not matter here.
         xg = x.reshape(*x.shape[:-1], num_groups, c // num_groups)
         red_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
         mean = jnp.mean(xg, axis=red_axes, keepdims=True, dtype=jnp.float32)
-        m2 = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=red_axes,
-                      keepdims=True)
-        var = jnp.maximum(m2 - mean * mean, 0.0)
+        var = jnp.mean(jnp.square(xg.astype(jnp.float32) - mean),
+                       axis=red_axes, keepdims=True)
         inv = jax.lax.rsqrt(var + eps)
         xf = (xg.astype(jnp.float32) - mean) * inv
         out = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
@@ -136,16 +173,8 @@ def group_norm_affine(
     for d in x.shape[1:-1]:
         l *= d
     xs = x.reshape(lead, l, c)
-    ghot = jnp.equal(
-        jnp.arange(c)[:, None] // (c // num_groups),
-        jnp.arange(num_groups)[None, :],
-    ).astype(x.dtype)
-    cnt = l * (c // num_groups)
-    s1 = jnp.einsum("nlc,cg->ng", xs, ghot, preferred_element_type=jnp.float32)
-    s2 = jnp.einsum("nlc,cg->ng", xs * xs, ghot,
-                    preferred_element_type=jnp.float32)
-    mean_g = s1 / cnt
-    inv_g = jax.lax.rsqrt(jnp.maximum(s2 / cnt - mean_g * mean_g, 0.0) + eps)
+    mean_g, var_g = _group_stats_bf16(xs, c, num_groups)
+    inv_g = jax.lax.rsqrt(var_g + eps)
     rep = c // num_groups
     mean = jnp.repeat(mean_g, rep, axis=1)   # (N, C)
     inv = jnp.repeat(inv_g, rep, axis=1)

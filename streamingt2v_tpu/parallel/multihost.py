@@ -59,6 +59,20 @@ def initialize(
     """
     global _INITIALIZED
     if _INITIALIZED:
+        # A no-op (single-process) first call latches this flag; a later
+        # call that passes explicit multi-process arguments would be
+        # silently ignored — surface that instead.
+        if coordinator_address is not None or num_processes is not None:
+            import warnings
+
+            warnings.warn(
+                "multihost.initialize() called with explicit coordinator "
+                "arguments after a previous initialize() already latched "
+                "(possibly as a single-process no-op); the new arguments "
+                "are ignored. Call initialize() with arguments first.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     env_np = os.environ.get("JAX_NUM_PROCESSES")

@@ -196,11 +196,22 @@ class Stage1Pipeline:
             if use_apm:
                 # appearance anchors from the so-far video (reference
                 # extract_anchor_frames on cat(result_chunks),
-                # streaming_svd.py:320-323); pad by repetition if short
+                # streaming_svd.py:320-323); pad by repetition if short.
+                # Frame indices are resolved on the host against the chunk
+                # list so every device op here has a static shape — no
+                # growing concatenate is materialized per generation, and
+                # _stream_chunk_fn keeps its single compiled executable
+                # (pinned by test_pipeline_stage1.py::test_apm_no_retrace).
                 a, b = inf.apm_anchor_frames
-                so_far = jnp.concatenate(chunks, axis=1)
-                idx = jnp.arange(a, b) % so_far.shape[1]
-                apm_frames = so_far[:, idx]
+                lens = [c.shape[1] for c in chunks]
+                starts = np.cumsum([0] + lens)
+                total = int(starts[-1])
+                frames = []
+                for i in range(a, b):
+                    gi = i % total
+                    ci = int(np.searchsorted(starts, gi, side="right")) - 1
+                    frames.append(chunks[ci][:, gi - int(starts[ci])])
+                apm_frames = jnp.stack(frames, axis=1)
                 result = self._stream_chunk_fn(
                     m.unet_params, m.controlnet_params, m.vae_params,
                     m.conditioner_params, anchor, ctrl, key, apm_frames,

@@ -86,12 +86,23 @@ def fetch_file(
     tmp = dest + ".part"
 
     def _get():
-        with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
-            while True:
-                chunk = r.read(1 << 20)
-                if not chunk:
-                    break
-                f.write(chunk)
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r, \
+                    open(tmp, "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+        except urllib.error.HTTPError as e:
+            # 4xx is permanent (bad URL / auth) — retrying with backoff
+            # only delays the real error.  5xx stays retryable.
+            if 400 <= e.code < 500:
+                raise FetchError(
+                    f"could not fetch {url} -> {dest}: HTTP {e.code} {e.reason}"
+                    " (permanent client error, not retried)"
+                ) from e
+            raise
 
     try:
         retry(_get, attempts=attempts, retry_on=(OSError,))

@@ -306,3 +306,98 @@ def test_fused_kernels_differentiable():
 
     gq = jax.grad(loss_fa)(q)
     assert gq.shape == q.shape and bool(jnp.all(jnp.isfinite(gq)))
+
+
+def test_group_norm_large_offset_low_variance():
+    """ADVICE r2: the E[x^2]-E[x]^2 forms must survive a large common
+    offset with small per-channel variance (catastrophic-cancellation
+    regime) on both the f32 fallback path and the bf16 einsum path."""
+    rng = np.random.RandomState(11)
+
+    # f32 fallback path (small span): offset 100, std 1e-3.
+    x = (100.0 + rng.randn(2, 4, 4, 32) * 1e-3).astype(np.float32)
+    scale = np.ones(32, np.float32)
+    bias = np.zeros(32, np.float32)
+    out = group_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias),
+                     num_groups=4)
+    xr = x.astype(np.float64).reshape(2, 4, 4, 4, 8)
+    mean = xr.mean(axis=(1, 2, 4), keepdims=True)
+    var = xr.var(axis=(1, 2, 4), keepdims=True)
+    ref = ((xr - mean) / np.sqrt(var + 1e-6)).reshape(x.shape)
+    # Two-pass shifted variance: the residual ~2% error is the f32 mean's
+    # own rounding (~2e-5 absolute at offset 100 = 2% of the 1e-3 std;
+    # the f32 *input* quantum at 100 is already 0.8% of the std) shifted
+    # through normalization.  The one-pass E[x^2]-E[x]^2 form in f32
+    # would make the variance wrong by ~1000x here, so an absolute 0.05
+    # tolerance on the unit-scale output cleanly separates correct from
+    # cancelled.  (No rtol: near-zero outputs make it meaningless.)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-2, rtol=0)
+
+    # bf16 einsum path (large span): offset 8, std 0.1 = 1.25% of the
+    # mean.  Without the lax.cond robust second pass in
+    # _group_stats_bf16 this regime produced max errors of ~100 (bf16
+    # x*x rounding bias swamps the true variance; measured r3).
+    # Reference computed in f64 from the bf16-rounded inputs.
+    xb = jnp.asarray(8.0 + rng.randn(1, 64, 64, 32) * 0.1, jnp.bfloat16)
+    outb = group_norm(xb, jnp.asarray(scale), jnp.asarray(bias), num_groups=4)
+    xb64 = np.asarray(xb, np.float64).reshape(1, 64, 64, 4, 8)
+    mean = xb64.mean(axis=(1, 2, 4), keepdims=True)
+    var = xb64.var(axis=(1, 2, 4), keepdims=True)
+    refb = ((xb64 - mean) / np.sqrt(var + 1e-6)).reshape(xb.shape)
+    err = np.abs(np.asarray(outb, np.float64) - refb)
+    # residual error: (mean - bf16(mean))^2 bias in E[(x-m)^2], ~2% of
+    # var here -> ~1% scale error on outputs spanning ~4 std.
+    assert float(err.max()) < 0.1, float(err.max())
+
+    # and a mid-spread case must keep using the fast path unscathed
+    xm = jnp.asarray(2.0 + rng.randn(1, 64, 64, 32) * 1.0, jnp.bfloat16)
+    outm = group_norm(xm, jnp.asarray(scale), jnp.asarray(bias), num_groups=4)
+    xm64 = np.asarray(xm, np.float64).reshape(1, 64, 64, 4, 8)
+    mean = xm64.mean(axis=(1, 2, 4), keepdims=True)
+    var = xm64.var(axis=(1, 2, 4), keepdims=True)
+    refm = ((xm64 - mean) / np.sqrt(var + 1e-6)).reshape(xm.shape)
+    errm = np.abs(np.asarray(outm, np.float64) - refm)
+    assert float(errm.max()) < 5e-2, float(errm.max())
+
+
+@pytest.mark.slow
+def test_fused_group_norm_exact_on_real_tpu():
+    """ADVICE r2: the two-phase fused GN relies on Mosaic's revisit/flush
+    semantics (phase 0 writes nothing to its pinned output block).  Run
+    the kernel compiled (not interpret) on a real TPU when one is
+    reachable so a Pallas/Mosaic upgrade that changes those semantics is
+    caught.  Skips when no TPU plugin is available."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import os
+os.environ.pop("JAX_PLATFORMS", None)
+import jax
+if jax.default_backend() not in ("tpu", "axon"):
+    print("NO_TPU"); raise SystemExit(0)
+import numpy as np, jax.numpy as jnp
+from streamingt2v_tpu.ops.fused_group_norm import fused_group_norm
+from streamingt2v_tpu.ops.norms import group_norm
+rng = np.random.RandomState(9)
+x = jnp.asarray(rng.randn(3, 48, 64).astype(np.float32))
+scale = jnp.asarray(rng.randn(64).astype(np.float32))
+bias = jnp.asarray(rng.randn(64).astype(np.float32))
+out = np.asarray(fused_group_norm(x, scale, bias, num_groups=8, eps=1e-5))
+ref = np.asarray(group_norm(x.reshape(3, 6, 8, 64), scale, bias,
+                            num_groups=8, eps=1e-5)).reshape(3, 48, 64)
+np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+print("OK")
+"""
+    env = {k: v for k, v in os.environ.items()
+           if "xla_force_host_platform" not in v}
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no real TPU reachable")
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "OK" in proc.stdout

@@ -91,3 +91,31 @@ def test_image_to_video_with_apm():
     video = pipe.image_to_video(image, num_frames=8, seed=1)
     assert video.shape == (8, cfg.height, cfg.width, 3)
     assert np.isfinite(np.asarray(video)).all()
+
+
+def test_apm_no_retrace():
+    """VERDICT r2 item 6: consecutive APM generations must reuse the same
+    compiled _stream_chunk_fn executable — the APM anchor gather resolves
+    frame indices on the host so every traced input keeps a static shape."""
+    import dataclasses
+
+    from streamingt2v_tpu.config import PipelineConfig
+    from streamingt2v_tpu.pipeline.build import build_pipeline
+
+    cfg = PipelineConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        unet=dataclasses.replace(cfg.unet, use_apm=True),
+        inference=dataclasses.replace(cfg.inference, apm_anchor_frames=(0, 3)),
+    )
+    pipe = build_pipeline(cfg, seed=0)
+    rng = np.random.RandomState(1)
+    image = jnp.asarray(rng.rand(cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
+    # enough frames for >= 3 autoregressive generations
+    chunk = cfg.inference.chunk_frames
+    cond = cfg.inference.num_conditional_frames
+    target = chunk + 3 * (chunk - cond)
+    video = pipe.image_to_video(image, num_frames=target, seed=2)
+    assert video.shape[0] == target
+    sizes = pipe._stream_chunk_fn._cache_size()
+    assert sizes == 1, f"_stream_chunk_fn retraced: {sizes} entries"
