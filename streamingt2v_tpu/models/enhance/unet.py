@@ -367,8 +367,13 @@ class I2VGenXLUNet(nn.Module):
                     return nn.Conv(c_out, (3, 3), name=name)(x2d)
                 h = spatial(h, upsample)
 
-        # 9. out
+        # 9. out — PER-FRAME GroupNorm statistics: the reference applies
+        # conv_norm_out on the (B*T, C, H, W) stream (unet_i2vgen_xl.py:803),
+        # so each frame normalizes with its own stats.  Caught by
+        # test_reference_goldens.py (the hand-built replica had encoded the
+        # same across-frames misreading as the model).
         s, bias = _gn_params(self, "conv_norm_out", h.shape[-1])
-        h = group_norm(h, s, bias, num_groups=groups, eps=1e-5, act="silu")
+        h = spatial(h, lambda x4: group_norm(x4, s, bias, num_groups=groups,
+                                             eps=1e-5, act="silu"))
         h = spatial(h, nn.Conv(cfg.out_channels, (3, 3), name="conv_out"))
         return h.astype(jnp.float32)

@@ -169,11 +169,15 @@ def _d_resnet2d(m: MapDict, fx: str, tk: str, channel_change: bool) -> None:
 
 
 def _d_temporal_conv(m: MapDict, fx: str, tk: str) -> None:
-    for name in ("conv1", "conv2", "conv3", "conv4"):
+    # diffusers TemporalConvLayer: conv1 = Sequential(GN, SiLU, Conv3d)
+    # but conv2-4 insert a Dropout, shifting the conv to index 3
+    # (diffusers models/resnet.py, mirrored at the reference's pinned
+    # version).  Caught by test_reference_goldens.py.
+    for name, ci in (("conv1", 2), ("conv2", 3), ("conv3", 3), ("conv4", 3)):
         _norm(m, f"{fx}/{name}_norm", f"{tk}.{name}.0")
-        m[f"{fx}/{name}/kernel"] = (f"{tk}.{name}.2.weight",
+        m[f"{fx}/{name}/kernel"] = (f"{tk}.{name}.{ci}.weight",
                                     lambda w: w.transpose(2, 3, 4, 1, 0))
-        m[f"{fx}/{name}/bias"] = (f"{tk}.{name}.2.bias", t_id)
+        m[f"{fx}/{name}/bias"] = (f"{tk}.{name}.{ci}.bias", t_id)
 
 
 def _d_basic_block(m: MapDict, fx: str, tk: str) -> None:
@@ -189,10 +193,17 @@ def _d_basic_block(m: MapDict, fx: str, tk: str) -> None:
 
 
 def _d_transformer2d(m: MapDict, fx: str, tk: str) -> None:
+    """use_linear_projection=True throughout (get_down_block/get_up_block
+    defaults, unet_3d_blocks.py:96,189): the shipped i2vgen-xl checkpoint
+    stores 2D Linear proj_in/proj_out weights.  Our flax Transformer2D is
+    a 1x1 conv (identical math); transform accordingly.  Caught by
+    test_reference_goldens.py (converter previously assumed 4D conv)."""
     _norm(m, f"{fx}/norm", f"{tk}.norm")
-    _conv(m, f"{fx}/proj_in", f"{tk}.proj_in")  # conv projections (not linear)
+    m[f"{fx}/proj_in/kernel"] = (f"{tk}.proj_in.weight", t_linear_to_conv1x1)
+    m[f"{fx}/proj_in/bias"] = (f"{tk}.proj_in.bias", t_id)
     _d_basic_block(m, f"{fx}/block_0", f"{tk}.transformer_blocks.0")
-    _conv(m, f"{fx}/proj_out", f"{tk}.proj_out")
+    m[f"{fx}/proj_out/kernel"] = (f"{tk}.proj_out.weight", t_linear_to_conv1x1)
+    m[f"{fx}/proj_out/bias"] = (f"{tk}.proj_out.bias", t_id)
 
 
 def _d_transformer_temporal(m: MapDict, fx: str, tk: str) -> None:
@@ -242,7 +253,9 @@ def i2vgen_unet_map(cfg: I2VGenXLUNetConfig, torch_prefix: str = "") -> MapDict:
                 _d_transformer_temporal(m, f"down_{i}_tattn_{j}", f"{tb}.temp_attentions.{j}")
             ch_prev = c_out
         if i < n - 1:
-            _conv(m, f"down_{i}_downsample", f"{tb}.downsamplers.0.conv")
+            # diffusers Downsample2D(name="op") stores under .op
+            # (unet_3d_blocks.py:495-501); caught by test_reference_goldens
+            _conv(m, f"down_{i}_downsample", f"{tb}.downsamplers.0.op")
 
     mb = f"{p}mid_block"
     _d_resnet2d(m, "mid_res_0", f"{mb}.resnets.0", False)

@@ -340,7 +340,11 @@ class ConfigMixin:
 
 
 class ModelMixin(nn.Module):
-    pass
+    @property
+    def dtype(self):
+        for p in self.parameters():
+            return p.dtype
+        return torch.float32
 
 
 class BaseOutput(dict):

@@ -274,3 +274,117 @@ def test_reference_controlnet_streaming_golden():
 
     out = fwd(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref_np, atol=5e-4, rtol=5e-4)
+
+
+def test_reference_video_decoder_golden():
+    """Our temporal VideoDecoder vs the reference's own VideoDecoder
+    forward (temporal_ae.py:291, conv-only time mode), weights through
+    vae_video_decoder_map."""
+    from models.svd.sgm.modules.autoencoding.temporal_ae import (
+        VideoDecoder as RefVideoDecoder,
+    )
+
+    from streamingt2v_tpu.models.vae import VideoDecoder
+
+    import dataclasses
+
+    from streamingt2v_tpu.config import DTypePolicy
+
+    # ch=32 (not tiny's 16): the reference Normalize hardcodes 32 groups
+    # (model.py:53) and its own code cannot run below 32 channels.
+    cfg = dataclasses.replace(VAEConfig.tiny(), ch=32)
+    cfg = dataclasses.replace(cfg, dtypes=DTypePolicy.fp32())
+    ref = RefVideoDecoder(
+        ch=cfg.ch, out_ch=cfg.out_ch, ch_mult=list(cfg.ch_mult),
+        num_res_blocks=cfg.num_res_blocks, attn_resolutions=[],
+        in_channels=cfg.in_channels, resolution=32,
+        z_channels=cfg.z_channels,
+        video_kernel_size=list(cfg.video_kernel_size),
+    )
+    rng = np.random.RandomState(5)
+    sd = _randomize(ref, rng)
+
+    B, T, h, w = 1, 3, 6, 6
+    z = rng.randn(B, T, h, w, cfg.z_channels).astype(np.float32)
+    with torch.no_grad():
+        zt = torch.as_tensor(z).reshape(B * T, h, w, -1).permute(0, 3, 1, 2)
+        out_ref = ref(zt, timesteps=T)
+    up = 2 ** (len(cfg.ch_mult) - 1)
+    ref_np = (
+        out_ref.reshape(B, T, cfg.out_ch, h * up, w * up)
+        .permute(0, 1, 3, 4, 2).numpy()
+    )
+
+    dec = VideoDecoder(cfg)
+    dec_tmpl = jax.eval_shape(dec.init, jax.random.PRNGKey(0), jnp.asarray(z))
+    tmpl = {"params": {"decoder": dec_tmpl["params"]}}
+    params = _convert(
+        {f"decoder.{k}": v for k, v in sd.items()},
+        vae_video_decoder_map(cfg), tmpl)
+    out = jax.jit(dec.apply)({"params": params["params"]["decoder"]},
+                             jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(out), ref_np, atol=5e-4, rtol=5e-4)
+
+
+def test_reference_i2vgen_unet_golden():
+    """Our I2VGenXLUNet vs the reference's own forward
+    (i2v_enhance/unet_i2vgen_xl.py:159,573), weights through
+    i2vgen_unet_map."""
+    from i2v_enhance.unet_i2vgen_xl import I2VGenXLUNet as RefI2VGenXLUNet
+
+    from streamingt2v_tpu.models.enhance.unet import (
+        I2VGenXLUNet,
+        I2VGenXLUNetConfig,
+    )
+    from streamingt2v_tpu.utils.checkpoint_diffusers import i2vgen_unet_map
+
+    cfg = I2VGenXLUNetConfig.tiny()
+    nblk = len(cfg.block_out_channels)
+    ref = RefI2VGenXLUNet(
+        in_channels=cfg.in_channels,
+        out_channels=cfg.out_channels,
+        down_block_types=("CrossAttnDownBlock3D",) * (nblk - 1) + ("DownBlock3D",),
+        up_block_types=("UpBlock3D",) + ("CrossAttnUpBlock3D",) * (nblk - 1),
+        block_out_channels=tuple(cfg.block_out_channels),
+        layers_per_block=cfg.layers_per_block,
+        norm_num_groups=cfg.norm_num_groups,
+        cross_attention_dim=cfg.cross_attention_dim,
+        attention_head_dim=cfg.attention_head_dim,
+        num_attention_heads=None,
+    )
+    rng = np.random.RandomState(9)
+    sd = _randomize(ref, rng)
+
+    B, T, h, w = 1, 2, 8, 8
+    x = rng.randn(B, T, h, w, cfg.in_channels).astype(np.float32)
+    img_lat = rng.randn(B, T, h, w, 4).astype(np.float32)
+    img_emb = rng.randn(B, cfg.cross_attention_dim).astype(np.float32)
+    text = rng.randn(B, 5, cfg.cross_attention_dim).astype(np.float32)
+    tstep = np.asarray([37], np.int64)
+    fps = np.asarray([7], np.int64)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.as_tensor(x).permute(0, 4, 1, 2, 3),
+            torch.as_tensor(tstep)[0],
+            fps=torch.as_tensor(fps),
+            image_latents=torch.as_tensor(img_lat).permute(0, 4, 1, 2, 3),
+            image_embeddings=torch.as_tensor(img_emb),
+            encoder_hidden_states=torch.as_tensor(text),
+            return_dict=False,
+        )[0]
+    ref_np = out_ref.permute(0, 2, 3, 4, 1).numpy()
+
+    unet = I2VGenXLUNet(cfg)
+    tmpl = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), jnp.asarray(x),
+        jnp.asarray(tstep.astype(np.int32)), jnp.asarray(fps, jnp.float32),
+        jnp.asarray(img_lat), jnp.asarray(img_emb), jnp.asarray(text)
+    )
+    params = _convert(sd, i2vgen_unet_map(cfg), tmpl)
+    out = jax.jit(unet.apply)(
+        params, jnp.asarray(x), jnp.asarray(tstep.astype(np.int32)),
+        jnp.asarray(fps, jnp.float32), jnp.asarray(img_lat),
+        jnp.asarray(img_emb), jnp.asarray(text)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_np, atol=5e-4, rtol=5e-4)
