@@ -133,12 +133,12 @@ def _param_logical_axes(segments: Tuple[str, ...], ndim: int) -> Tuple[Optional[
     return ("channels", None)
 
 
-def shard_params(params, mesh: Optional[Mesh]):
-    """Place a param pytree on `mesh` according to the logical rules."""
-    if mesh is None or mesh.size == 1:
-        return params
+def param_sharding_tree(params, mesh: Mesh):
+    """NamedSharding pytree for `params` (arrays OR ShapeDtypeStructs)
+    according to the logical rules — usable as jit in_shardings for
+    compile-only analysis without materializing the weights."""
 
-    def place(path, x):
+    def spec(path, x):
         segments = tuple(str(getattr(k, "key", k)) for k in path)
         axes = _param_logical_axes(segments, x.ndim)
         # leave dims that don't divide the mesh axis unsharded
@@ -148,9 +148,17 @@ def shard_params(params, mesh: Optional[Mesh]):
             if mesh_axis is not None and x.shape[dim] % mesh.shape[mesh_axis] != 0:
                 name = None
             fixed.append(name)
-        return jax.device_put(x, logical_sharding(mesh, tuple(fixed)))
+        return logical_sharding(mesh, tuple(fixed))
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(params, mesh: Optional[Mesh]):
+    """Place a param pytree on `mesh` according to the logical rules."""
+    if mesh is None or mesh.size == 1:
+        return params
+    shardings = param_sharding_tree(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
 
 
 def shard_activations(x, mesh: Optional[Mesh], logical_axes: Tuple[Optional[str], ...]):
