@@ -1,0 +1,155 @@
+"""End-to-end determinism + quality gate (VERDICT r3 #7).
+
+The bitwise-stable-scheduling north star: the same seed must produce the
+same video, bit for bit, through all three stages — stage-1 autoregression
+(seed 33 discipline, reference abstract_trainer.py:51-61), SDEdit enhance
+with randomized blending (counter-addressed offsets replacing the
+reference's global `random`, pipeline_i2vgen_xl.py:891-897), and VFI.
+
+Also computes MAWE (utils/metrics.py) on the final video each run so
+quality regressions become visible in CI history.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamingt2v_tpu.config import (
+    EnhanceConfig,
+    PipelineConfig,
+    VAEConfig,
+    VFIConfig,
+)
+from streamingt2v_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
+from streamingt2v_tpu.models.clip_text import (
+    CLIPTextConfig,
+    CLIPTextTower,
+    CLIPTokenizer,
+    _bytes_to_unicode,
+)
+from streamingt2v_tpu.models.enhance.unet import I2VGenXLUNet, I2VGenXLUNetConfig
+from streamingt2v_tpu.models.vae import AutoencoderKL
+from streamingt2v_tpu.models.vfi import MultiScaleFlow
+from streamingt2v_tpu.diffusion.ddim import DDIMScheduler
+from streamingt2v_tpu.pipeline.enhance import EnhanceModels, EnhancePipeline
+from streamingt2v_tpu.pipeline.full import StreamingT2VPipeline
+from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
+
+pytestmark = pytest.mark.slow
+
+
+def _tiny_tokenizer(max_length: int) -> CLIPTokenizer:
+    """Byte-level vocab (no merges): enough for encode_prompts to tokenize
+    the quality prompts deterministically."""
+    chars = list(_bytes_to_unicode().values())
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    for s in ("<|startoftext|>", "<|endoftext|>"):
+        vocab[s] = len(vocab)
+    return CLIPTokenizer(vocab, [], max_length)
+
+
+@pytest.fixture(scope="module")
+def full_pipeline():
+    cfg = PipelineConfig.tiny()
+    ecfg = EnhanceConfig(num_steps=3, height=32, width=32, chunk_size=4,
+                         overlap_size=2, use_randomized_blending=True)
+    cfg = dataclasses.replace(cfg, enhance=ecfg, use_randomized_blending=True)
+
+    from streamingt2v_tpu.pipeline.build import build_pipeline
+
+    stage1 = build_pipeline(cfg, seed=0)
+
+    ucfg = I2VGenXLUNetConfig.tiny()
+    vcfg = dataclasses.replace(VAEConfig.tiny(), temporal_decoder=False)
+    ccfg = dataclasses.replace(CLIPVisionConfig.tiny(),
+                               output_dim=ucfg.cross_attention_dim)
+    tok = _tiny_tokenizer(max_length=16)
+    tcfg = CLIPTextConfig(vocab_size=len(tok.encoder),
+                          width=ucfg.cross_attention_dim, layers=2, heads=2,
+                          max_length=16)
+    unet = I2VGenXLUNet(ucfg)
+    vae = AutoencoderKL(vcfg, use_quant_conv=True)
+    clipv = CLIPVisionTower(ccfg)
+    text = CLIPTextTower(tcfg)
+    k = jax.random.split(jax.random.PRNGKey(1), 4)
+    h = ecfg.height // vcfg.downsample_factor
+    w = ecfg.width // vcfg.downsample_factor
+    models = EnhanceModels(
+        unet=unet,
+        unet_params=unet.init(
+            k[0], jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,)), jnp.zeros((1, 2, h, w, 4)),
+            jnp.zeros((1, ucfg.cross_attention_dim)),
+            jnp.zeros((1, 5, ucfg.cross_attention_dim))),
+        vae=vae,
+        vae_params=vae.init(k[1], jnp.zeros((1, 32, 32, 3))),
+        clip_vision=clipv,
+        clip_vision_params=clipv.init(
+            k[2], jnp.zeros((1, ccfg.image_size, ccfg.image_size, 3))),
+        text_encoder=text,
+        text_params=text.init(k[3], jnp.zeros((1, tcfg.max_length), jnp.int32)),
+        scheduler=DDIMScheduler(),
+        tokenizer=tok,
+    )
+    enhance = EnhancePipeline(ecfg, models)
+
+    vfi_cfg = VFIConfig.tiny()
+    vfi_model = MultiScaleFlow(vfi_cfg)
+    img = jnp.zeros((1, 32, 32, 3))
+    vfi_params = jax.jit(vfi_model.init)(jax.random.PRNGKey(2), img, img)
+    interp = InterpolatePipeline(vfi_model, vfi_params, tta=False)
+
+    pipe = StreamingT2VPipeline(cfg, stage1, enhance, interp)
+    return pipe, (vfi_model, vfi_params)
+
+
+def _run_all_stages(pipe: StreamingT2VPipeline, image_u8: np.ndarray,
+                    seed: int) -> np.ndarray:
+    v = pipe.image_to_video(image_u8, seed=seed)
+    v = pipe.enhance_video(v, image_u8, seed=seed)
+    return pipe.interpolate_video(v)
+
+
+def test_full_three_stage_bitwise_determinism(full_pipeline):
+    pipe, _ = full_pipeline
+    rng = np.random.RandomState(0)
+    image = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+
+    out1 = _run_all_stages(pipe, image, seed=33)
+    out2 = _run_all_stages(pipe, image, seed=33)
+    assert out1.shape[0] == pipe.cfg.num_frames
+    assert out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)
+
+    # a different seed must change the video (the PRNG is live, not inert)
+    out3 = _run_all_stages(pipe, image, seed=34)
+    assert not np.array_equal(out1, out3)
+
+
+def test_full_pipeline_writes_video_and_mawe(full_pipeline, tmp_path, capsys):
+    from streamingt2v_tpu.utils import media
+    from streamingt2v_tpu.utils.metrics import mawe, vfi_flow_fn
+
+    pipe, (vfi_model, vfi_params) = full_pipeline
+    rng = np.random.RandomState(1)
+    image = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    out = _run_all_stages(pipe, image, seed=33)
+
+    path = media.save_video(str(tmp_path / "out.y4m"), out, fps=pipe.cfg.out_fps)
+    import os
+
+    assert os.path.getsize(path) > out.nbytes // 2  # y4m is ~raw 4:2:0
+
+    # quality gate: MAWE on the final video (record per round; random tiny
+    # weights give no absolute meaning — the gate is finiteness + logging)
+    video01 = jnp.asarray(out.astype(np.float32) / 255.0)
+    m = float(mawe(video01, vfi_flow_fn(vfi_model, vfi_params)))
+    assert np.isfinite(m)
+    print(f"\n[quality] MAWE(tiny e2e, seed 33) = {m:.6f}")
