@@ -57,13 +57,21 @@ def shape_bytes(s: str) -> int:
 
 def analyze(hlo_text: str):
     per_type: dict[str, dict] = {}
+    per_shape: dict[tuple, int] = {}
     for m in _COLLECTIVE_RE.finditer(hlo_text):
         shape, op = m.group(1), m.group(2)
         b = shape_bytes(shape)
         rec = per_type.setdefault(op, {"count": 0, "bytes": 0})
         rec["count"] += 1
         rec["bytes"] += b
-    return per_type
+        per_shape[(op, shape)] = per_shape.get((op, shape), 0) + 1
+    top = sorted(per_shape.items(), key=lambda kv: -shape_bytes(kv[0][1]) * kv[1])
+    top_shapes = [
+        {"op": op, "shape": s, "count": n,
+         "total_bytes": shape_bytes(s) * n}
+        for (op, s), n in top[:12]
+    ]
+    return per_type, top_shapes
 
 
 def main() -> None:
@@ -153,7 +161,7 @@ def main() -> None:
         compiled = lowered.compile()
 
     txt = compiled.as_text()
-    per_type = analyze(txt)
+    per_type, top_shapes = analyze(txt)
     total = sum(r["bytes"] for r in per_type.values())
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
@@ -171,6 +179,7 @@ def main() -> None:
         "flops_per_step": flops,
         "collectives": per_type,
         "total_collective_bytes": total,
+        "top_collective_shapes": top_shapes,
     }
     print(json.dumps(report, indent=2))
     if args.out:
