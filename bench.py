@@ -80,9 +80,15 @@ def measure_rtt() -> float:
 
 
 def to_bf16(p):
-    return jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
-    )
+    # ONE jitted program for the whole tree (donated): the eager per-leaf
+    # form dispatches one ~30ms-RTT program per distinct shape on the
+    # tunneled platform (~700 shapes for a UNet tree)
+    return jax.jit(
+        lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
+        ),
+        donate_argnums=0,
+    )(p)
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +311,9 @@ def bench_enhance() -> None:
     rng = np.random.RandomState(0)
     # blending geometry: 2 chunks of 38 with overlap 12 -> 64 frames @720p
     F = 2 * (cfg.chunk_size - cfg.overlap_size) + cfg.overlap_size  # 64
-    video = jnp.asarray(rng.rand(F, cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
+    # host-side input: the pipeline device-puts per VAE chunk — keeps the
+    # 944 MB f32 video out of HBM for the whole denoise
+    video = (rng.rand(F, cfg.height, cfg.width, 3) * 2 - 1).astype(np.float32)
     keys = [video[0], video[cfg.chunk_size - cfg.overlap_size]]
     pe = jnp.asarray(rng.randn(2, 77, 1024), jnp.bfloat16)
 

@@ -221,6 +221,10 @@ class EnhanceConfig:
     # one program per step (default; avoids multi-minute single XLA
     # executions that trip execution watchdogs on tunneled platforms)
     one_program: bool = False
+    # run the stage-2 VAE in bf16 (the reference loads the ENTIRE i2vgen
+    # pipeline incl. VAE in fp16, i2v_enhance_interface.py:69) — halves the
+    # 720p decoder's ~1 GB/frame live tensors on a 16 GB chip
+    vae_bf16: bool = True
     # fixed quality prompts (i2v_enhance_interface.py:87-88)
     prompt: str = "High Quality, HQ, detailed."
     negative_prompt: str = (

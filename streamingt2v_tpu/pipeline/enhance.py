@@ -65,6 +65,20 @@ class EnhancePipeline:
     def __init__(self, cfg: EnhanceConfig, models: EnhanceModels):
         self.cfg = cfg
         self.m = models
+        # stage-2 VAE precision: the reference runs the whole i2vgen
+        # pipeline (incl. VAE) in fp16 (i2v_enhance_interface.py:69); bf16
+        # halves the 720p decoder's live tensors so 64-frame enhance fits
+        # one 16 GB chip.  Stage 1 keeps its fp32 VAE
+        # (disable_first_stage_autocast) — this cast is enhance-local.
+        if cfg.vae_bf16 and models.vae_params is not None:
+            self._vae_params = jax.jit(lambda t: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t,
+            ))(models.vae_params)
+            self._vae_dtype = jnp.bfloat16
+        else:
+            self._vae_params = models.vae_params
+            self._vae_dtype = jnp.float32
         self._denoise_chunk = jax.jit(self._denoise_chunk_impl,
                                       static_argnames=("num_inference_steps",))
         self._denoise_video = jax.jit(
@@ -77,6 +91,18 @@ class EnhancePipeline:
             static_argnames=("num_inference_steps", "chunk_size", "stride",
                              "overlap_size", "n_chunks"),
         )
+        # VAE encode/decode as compiled programs (one per chunk shape), not
+        # eager op-by-op dispatch: XLA fuses the conv tower (fewer 720p
+        # intermediates live) and the tunneled platform dispatches one
+        # program instead of ~50 per chunk
+        self._encode_chunk = jax.jit(
+            lambda p, x, key: self.m.vae.apply(
+                p, x, key, method=AutoencoderKL.encode).astype(jnp.float32))
+        self._decode_chunk = jax.jit(
+            lambda p, z: self.m.vae.apply(
+                p, z, method=AutoencoderKL.decode).astype(jnp.float32))
+        self._key_image_cond = jax.jit(self._key_image_cond_impl,
+                                       static_argnames=("num_frames",))
 
     # ---------- conditioning ----------
 
@@ -187,38 +213,72 @@ class EnhancePipeline:
 
     # ---------- video latents ----------
 
-    @staticmethod
-    def _vae_chunk_frames(h: int, w: int) -> int:
-        """Frames per fp32 VAE call: the encoder/decoder's full-resolution
-        128-channel activations cost H*W*512 bytes/frame; budget ~2 GB per
-        live tensor so a 720p enhance fits one 16 GB chip (the reference
+    def _vae_chunk_frames(self, h: int, w: int, kind: str = "decode") -> int:
+        """Frames per VAE call, sized from XLA's MEASURED temp allocation,
+        not the naive live-tensor count: AOT memory analysis of the
+        compiled 720p programs shows decode needs ~12x and encode ~7x the
+        full-resolution 128-channel activation (h*w*128*itemsize) per
+        frame in scratch (bf16: 2.66 / 1.55 GiB per 720p frame).  Budget
+        7.5 GiB of scratch — the largest allocatable block next to the
+        resident UNet/CLIP/VAE params on a 16 GB chip (the reference
         instead chunks by 16 at fp16 on GPU, pipeline_i2vgen_xl.py:586-596,
         and decodes with decode_chunk_size=1, :384-395)."""
-        return max(1, min(16, (1 << 30) // (h * w * 512)))
+        act = h * w * 128 * jnp.dtype(self._vae_dtype).itemsize
+        temp_per_frame = act * (12 if kind == "decode" else 7)
+        budget = int(7.5 * (1 << 30))
+        return max(1, min(16, budget // temp_per_frame))
 
     def _encode_video(self, video: jax.Array, key: jax.Array) -> jax.Array:
         """(F, H, W, 3) -> sampled, scaled latents (1, F, h, w, 4)."""
-        step = self._vae_chunk_frames(video.shape[1], video.shape[2])
+        step = self._vae_chunk_frames(video.shape[1], video.shape[2], "encode")
         zs = []
         for start in range(0, video.shape[0], step):
-            chunk = video[start : start + step]
-            zs.append(self.m.vae.apply(
-                self.m.vae_params, chunk, jax.random.fold_in(key, start),
-                method=AutoencoderKL.encode,
-            ))
+            chunk = jnp.asarray(video[start : start + step], self._vae_dtype)
+            if chunk.shape[0] != step:  # ragged tail: pad to the compiled shape
+                pad = step - chunk.shape[0]
+                out = self._encode_chunk(
+                    self._vae_params,
+                    jnp.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)], 0),
+                    jax.random.fold_in(key, start))[: chunk.shape[0]]
+            else:
+                out = self._encode_chunk(self._vae_params, chunk,
+                                         jax.random.fold_in(key, start))
+            zs.append(out)
         return jnp.concatenate(zs, axis=0)[None]
 
     def _decode_latents(self, latents: jax.Array, decode_chunk: int = 0) -> jax.Array:
+        from streamingt2v_tpu.utils.resilience import (
+            decode_chunk_ladder,
+            with_oom_fallback,
+        )
+
         z = latents[0]
-        decode_chunk = decode_chunk or self._vae_chunk_frames(
+        base = decode_chunk or self._vae_chunk_frames(
             z.shape[1] * 8, z.shape[2] * 8)
-        outs = []
-        for start in range(0, z.shape[0], decode_chunk):
-            outs.append(self.m.vae.apply(
-                self.m.vae_params, z[start : start + decode_chunk],
-                method=AutoencoderKL.decode,
-            ))
-        return jnp.clip(jnp.concatenate(outs, axis=0), -1.0, 1.0)
+
+        def decode_with(chunk: int) -> jax.Array:
+            outs = []
+            for start in range(0, z.shape[0], chunk):
+                zc = z[start : start + chunk].astype(self._vae_dtype)
+                if zc.shape[0] != chunk:  # ragged tail: pad to compiled shape
+                    pad = chunk - zc.shape[0]
+                    out = self._decode_chunk(
+                        self._vae_params,
+                        jnp.concatenate([zc, zc[-1:].repeat(pad, axis=0)], 0),
+                    )[: zc.shape[0]]
+                else:
+                    out = self._decode_chunk(self._vae_params, zc)
+                # sync PER CHUNK: only host reads synchronize on this
+                # platform, and an async OOM from chunk i would otherwise
+                # surface at chunk i+1's eager slice — or worse, inside the
+                # NEXT ladder rung, burning it on a stale error.  One ~30 ms
+                # RTT per chunk is noise next to the decode itself.
+                np.asarray(jax.device_get(out[-1, -1, -1, -1]))
+                outs.append(out)
+            return jnp.clip(jnp.concatenate(outs, axis=0), -1.0, 1.0)
+
+        return with_oom_fallback(
+            *(lambda c=c: decode_with(c) for c in decode_chunk_ladder(base)))
 
     # ---------- public API ----------
 
@@ -292,22 +352,34 @@ class EnhancePipeline:
                     prompt_embeds, ce, il, okey, float(cfg.fps), **common)
         return self._decode_latents(latents)
 
-    def _encode_key_image_with_frames(self, image, key, num_frames):
+    def _key_image_cond_impl(self, cv_params, vae_params, image, key, *,
+                             num_frames):
+        """Whole key-frame conditioning as ONE program (CLIP crop/resize/
+        tower + VAE encode + frame-position masks): eager per-op dispatch
+        costs ~30 ms RTT each on the tunneled platform."""
         cfg = self.cfg
         clip_size = self.m.clip_vision.cfg.image_size
         sq = center_crop_wide(image, (cfg.width, cfg.width))
         sq = jax.image.resize(sq, (clip_size, clip_size, 3), method="bilinear")
         pooled, _ = self.m.clip_vision.apply(
-            self.m.clip_vision_params, clip_preprocess(sq[None], clip_size)
+            cv_params, clip_preprocess(sq[None], clip_size)
         )
         clip_emb = jnp.concatenate([jnp.zeros_like(pooled), pooled], axis=0)
         img = center_crop_wide(image, (cfg.width, cfg.height))[None]
-        z = self.m.vae.apply(self.m.vae_params, img, key, method=AutoencoderKL.encode)
-        masks = [z] + [
-            jnp.ones_like(z) * ((i + 1) / (num_frames - 1)) for i in range(num_frames - 1)
-        ]
-        il = jnp.stack(masks, axis=1)
+        z = self.m.vae.apply(
+            vae_params, img.astype(self._vae_dtype), key,
+            method=AutoencoderKL.encode,
+        ).astype(jnp.float32)
+        ramp = jnp.arange(1, num_frames, dtype=jnp.float32) / (num_frames - 1)
+        masks = jnp.ones((1, num_frames - 1) + z.shape[1:], z.dtype) * (
+            ramp[None, :, None, None, None])
+        il = jnp.concatenate([z[:, None], masks], axis=1)
         return clip_emb, jnp.concatenate([il, il], axis=0)
+
+    def _encode_key_image_with_frames(self, image, key, num_frames):
+        return self._key_image_cond(
+            self.m.clip_vision_params, self._vae_params,
+            jnp.asarray(image, jnp.float32), key, num_frames=num_frames)
 
     def enhance_with_keyframe_prepass(self, video: jax.Array, image: jax.Array,
                                       seed: Optional[int] = None) -> jax.Array:

@@ -143,10 +143,30 @@ def is_oom(exc: BaseException) -> bool:
     )
 
 
+def drain_device_errors(attempts: int = 5, pause: float = 1.0) -> None:
+    """Settle the device after an async failure: on TPU, a failed program's
+    error can surface at a LATER dispatch, and its scratch buffers are
+    reclaimed asynchronously.  Run a trivial computation with a host read
+    (the only true synchronization point on tunneled platforms) until it
+    succeeds, swallowing stale errors, so the next fallback candidate
+    starts from a clean stream."""
+    probe = jax.jit(lambda a: a.sum())
+    for i in range(attempts):
+        try:
+            jax.device_get(probe(jnp.ones((8, 128), jnp.float32)))
+            return
+        except Exception:  # noqa: BLE001 — stale async errors, by design
+            if i == attempts - 1:
+                raise
+            time.sleep(pause)
+
+
 def with_oom_fallback(*candidates: Callable[[], Any], logger=None):
     """Run `candidates` in order; on OOM, fall through to the next (a
     cheaper configuration — smaller chunks, remat on, offload).  Non-OOM
-    errors propagate immediately; the final candidate's OOM propagates."""
+    errors propagate immediately; the final candidate's OOM propagates.
+    Between candidates the device stream is drained so one failure's
+    async error cannot burn later rungs of the ladder."""
     assert candidates
     last: Optional[BaseException] = None
     for i, fn in enumerate(candidates):
@@ -158,6 +178,7 @@ def with_oom_fallback(*candidates: Callable[[], Any], logger=None):
             last = e
             if logger is not None:
                 logger(f"OOM on candidate {i} ({e!r:.120}); degrading")
+            drain_device_errors()
     raise AssertionError("unreachable") from last
 
 
