@@ -153,13 +153,20 @@ def attention_pre_split(
         if mesh is not None and mesh.size > 1:
             return _flash_sharded(qf, kf, vf, mesh)
         return flash_attention(qf, kf, vf)
+    # Dim 0 is the callers' (b·s·h) fold (batch, tokens, heads in
+    # major-to-minor order — VideoTransformerBlock.to_time_split and
+    # CAM) — shard it by ALL THREE mesh axes.  Labeling it `batch` alone
+    # made GSPMD all-gather the seq-sharded tokens axis hidden in the
+    # fold: ~7 GiB/step of f32 temporal KV on the DP2xSP4 mesh, the
+    # dominant collective in the HLO budget (docs/PARALLEL.md).
+    fold = ("batch", "tokens", "heads")
     if (lq <= _GROUP_MAX_LEN and lk <= _GROUP_MAX_LEN and bh >= 256
             and backend != "xla"):
-        qf = shard(qf, "batch", None, None)
-        kf = shard(kf, "batch", None, None)
-        vf = shard(vf, "batch", None, None)
+        qf = shard(qf, fold, None, None)
+        kf = shard(kf, fold, None, None)
+        vf = shard(vf, fold, None, None)
         return _grouped_tiny_attention(qf, kf, vf)
-    qf = shard(qf, "batch", "tokens", None)
+    qf = shard(qf, fold, None, None)
     return dot_product_attention(qf, kf, vf)
 
 
@@ -213,9 +220,10 @@ def attention(
         qf = qh.reshape(b * num_heads, lq, d)
         kf = kh.reshape(b * num_heads, lk, d)
         vf = vh.reshape(b * num_heads, lk, d)
-        qf = shard(qf, "batch", None, None)
-        kf = shard(kf, "batch", None, None)
-        vf = shard(vf, "batch", None, None)
+        # dim 0 folds (batch, heads) — shard by both mesh axes
+        qf = shard(qf, ("batch", "heads"), None, None)
+        kf = shard(kf, ("batch", "heads"), None, None)
+        vf = shard(vf, ("batch", "heads"), None, None)
         o = _grouped_tiny_attention(qf, kf, vf).reshape(b, num_heads, lq, d)
     else:
         qh = shard(qh, "batch", "heads", "tokens", None)

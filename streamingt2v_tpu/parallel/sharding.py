@@ -86,19 +86,38 @@ def active_mesh(mesh: Optional[Mesh]):
         _ACTIVE_MESH = prev
 
 
-def shard(x, *logical_axes: Optional[str]):
+def shard(x, *logical_axes):
     """Constrain `x` to the active mesh along logical axes (no-op without
     an active multi-device mesh).  Dims whose logical axis size does not
-    divide the mesh axis are left unconstrained rather than erroring."""
+    divide the mesh axis are left unconstrained rather than erroring.
+
+    A TUPLE of logical names for one dim means that dim is a fold of
+    several logical axes in major-to-minor order (e.g. the temporal
+    attention batch (b·s·h) folds batch, tokens, heads) and is sharded by
+    every corresponding mesh axis: without this, constraining the fold to
+    `batch` alone forces GSPMD to ALL-GATHER the seq-sharded tokens axis
+    hidden inside it — measured as the dominant collective (~7 GiB of
+    f32 temporal-attention KV per step on the DP2xSP4 mesh,
+    docs/PARALLEL.md)."""
     mesh = _ACTIVE_MESH
     if mesh is None or mesh.size == 1:
         return x
     axes = []
     for dim, name in enumerate(logical_axes):
-        mesh_axis = LOGICAL_RULES.get(name) if name is not None else None
-        if mesh_axis is not None and x.shape[dim] % mesh.shape[mesh_axis] != 0:
-            mesh_axis = None
-        axes.append(mesh_axis)
+        names = name if isinstance(name, tuple) else (name,)
+        mesh_axes = tuple(
+            m for n in names if n is not None
+            if (m := LOGICAL_RULES.get(n)) is not None
+        )
+        total = 1
+        for m in mesh_axes:
+            total *= mesh.shape[m]
+        if not mesh_axes or x.shape[dim] % total != 0:
+            axes.append(None)
+        elif len(mesh_axes) == 1:
+            axes.append(mesh_axes[0])
+        else:
+            axes.append(mesh_axes)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*axes)))
 
 

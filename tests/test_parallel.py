@@ -50,6 +50,32 @@ def test_sharded_computation_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(jnp.tanh(x) @ jnp.ones((16, 4))), rtol=1e-6)
 
 
+def test_compound_fold_shard_uses_all_axes():
+    """A dim that folds several logical axes (the temporal-attention
+    (b·s·h) batch) must be sharded by every corresponding mesh axis —
+    labeling it `batch` alone forced GSPMD to all-gather the seq-sharded
+    tokens axis hidden in the fold (docs/PARALLEL.md)."""
+    from streamingt2v_tpu.parallel.sharding import active_mesh, shard
+
+    mesh = create_mesh(MeshConfig(data=2, seq=2, model=2))
+    x = jnp.arange(16 * 4 * 8, dtype=jnp.float32).reshape(16, 4, 8)
+
+    @jax.jit
+    def f(x):
+        return shard(x, ("batch", "tokens", "heads"), None, None) * 2.0
+
+    with mesh, active_mesh(mesh):
+        out = f(x)
+    assert tuple(out.sharding.spec)[0] == ("data", "seq", "model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+
+    # indivisible fold dim -> constraint dropped, not an error
+    y = jnp.ones((6, 4, 8))
+    with mesh, active_mesh(mesh):
+        out = jax.jit(lambda a: shard(a, ("batch", "tokens", "heads"), None, None))(y)
+    assert out.sharding.spec in (P(), P(None, None, None))
+
+
 def test_shard_params_places_on_mesh():
     mesh = create_mesh(MeshConfig(data=4, seq=1, model=2))
     params = {
