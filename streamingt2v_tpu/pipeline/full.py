@@ -56,12 +56,17 @@ class StreamingT2VPipeline:
             self.stage1.with_decode_chunk(c)
             for c in decode_chunk_ladder(cfg.inference.decode_chunk_size // 2)
         ]
+        def run_synced(p):
+            v = p.image_to_video(x, cfg.stage1_frames, seed)
+            # force execution inside the ladder: only host reads
+            # synchronize on this platform, and without one the async OOM
+            # would surface at the caller's np.asarray, past the ladder
+            np.asarray(v[-1, 0, 0, 0])
+            return v
+
         with stage_timer("stage1_i2v"):
             video = with_oom_fallback(
-                *[
-                    (lambda p=p: p.image_to_video(x, cfg.stage1_frames, seed))
-                    for p in pipes
-                ]
+                *[(lambda p=p: run_synced(p)) for p in pipes]
             )
         return media.to_uint8(np.asarray(video))
 
