@@ -57,13 +57,27 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def peak_hbm_gb() -> float:
+    """Device-reported peak HBM (GiB); 0.0 if the platform exposes no stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use") or 0
+        return round(peak / 2**30, 2)
+    except Exception:
+        return 0.0
+
+
 def emit(metric: str, value: float, unit: str, baseline: float) -> None:
-    print(json.dumps({
+    rec = {
         "metric": metric,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(value / baseline, 2),
-    }))
+    }
+    hbm = peak_hbm_gb()
+    if hbm:
+        rec["peak_hbm_gb"] = hbm
+    print(json.dumps(rec))
 
 
 def measure_rtt() -> float:

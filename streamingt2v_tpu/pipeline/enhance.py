@@ -81,15 +81,20 @@ class EnhancePipeline:
             self._vae_dtype = jnp.float32
         self._denoise_chunk = jax.jit(self._denoise_chunk_impl,
                                       static_argnames=("num_inference_steps",))
+        # latents buffers are donated: each step consumes the previous
+        # step's output, so XLA reuses the allocation instead of holding
+        # input+output copies live across the 30-step loop
         self._denoise_video = jax.jit(
             self._denoise_video_impl,
             static_argnames=("num_inference_steps", "chunk_size", "stride",
                              "overlap_size", "n_chunks"),
+            donate_argnames=("latents",),
         )
         self._denoise_step = jax.jit(
             self._denoise_step_impl,
             static_argnames=("num_inference_steps", "chunk_size", "stride",
                              "overlap_size", "n_chunks"),
+            donate_argnames=("latents",),
         )
         # VAE encode/decode as compiled programs (one per chunk shape), not
         # eager op-by-op dispatch: XLA fuses the conv tower (fewer 720p

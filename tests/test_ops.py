@@ -392,12 +392,18 @@ print("OK")
 """
     env = {k: v for k, v in os.environ.items()
            if "xla_force_host_platform" not in v}
-    proc = subprocess.run(
-        [sys.executable, "-c", code], env=env, capture_output=True,
-        text=True, timeout=600,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired:
+        # tunneled-pool outage: backend init blocks instead of failing
+        pytest.skip("TPU backend unreachable (init timed out)")
     if "NO_TPU" in proc.stdout:
         pytest.skip("no real TPU reachable")
+    if "UNAVAILABLE" in proc.stdout + proc.stderr:
+        pytest.skip("TPU backend unavailable")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "OK" in proc.stdout
