@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="y4m streams through the native async media feeder "
                         "when built (encode overlaps compute)")
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--mesh", default=None, metavar="DATA,SEQ,MODEL",
+                   help="device mesh for multi-chip runs (e.g. 2,4,1): "
+                        "stage 1 shards params/activations per the logical "
+                        "rules; stage 2 runs its (chunk x CFG) forwards "
+                        "data-parallel")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight config (smoke testing)")
     p.add_argument("--skip_enhance", action="store_true")
@@ -72,13 +77,21 @@ def main(argv=None) -> int:
     if args.use_memopt:
         print("[streamingt2v_tpu] --use_memopt is a no-op on TPU (sharding/remat instead)")
 
-    stage1 = build_pipeline(cfg, seed=args.seed)
+    mesh = None
+    if args.mesh:
+        from streamingt2v_tpu.config import MeshConfig
+        from streamingt2v_tpu.parallel.mesh import create_mesh
+
+        d, s, m = (int(v) for v in args.mesh.split(","))
+        mesh = create_mesh(MeshConfig(data=d, seq=s, model=m))
+
+    stage1 = build_pipeline(cfg, seed=args.seed, mesh=mesh)
     if args.ckpt_dir:
         from streamingt2v_tpu.utils.loader import load_stage1_checkpoints
 
         stage1 = load_stage1_checkpoints(stage1, args.ckpt_dir)
 
-    enhance = None if args.skip_enhance else _maybe_build_enhance(cfg, args)
+    enhance = None if args.skip_enhance else _maybe_build_enhance(cfg, args, mesh)
     interp = None if args.skip_interpolation else _maybe_build_interpolate(cfg, args)
     pipe = StreamingT2VPipeline(cfg, stage1, enhance, interp)
 
@@ -96,14 +109,14 @@ def main(argv=None) -> int:
     return 0
 
 
-def _maybe_build_enhance(cfg, args):
+def _maybe_build_enhance(cfg, args, mesh=None):
     """Stage 2 requires its own checkpoints; skip with a notice if absent."""
     if args.tiny or not args.ckpt_dir:
         print("[streamingt2v_tpu] stage 2 (enhance) skipped: no checkpoints")
         return None
     from streamingt2v_tpu.utils.loader import load_enhance_pipeline
 
-    return load_enhance_pipeline(cfg, args.ckpt_dir)
+    return load_enhance_pipeline(cfg, args.ckpt_dir, mesh=mesh)
 
 
 def _maybe_build_interpolate(cfg, args):

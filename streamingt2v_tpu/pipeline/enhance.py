@@ -62,9 +62,16 @@ def center_crop_wide(img: jax.Array, target_wh) -> jax.Array:
 
 
 class EnhancePipeline:
-    def __init__(self, cfg: EnhanceConfig, models: EnhanceModels):
+    def __init__(self, cfg: EnhanceConfig, models: EnhanceModels, mesh=None):
         self.cfg = cfg
         self.m = models
+        # Multi-chip stage 2: the (chunk x CFG-half) UNet forwards within
+        # one DDIM step are independent, so with a mesh they run BATCHED
+        # with the batch dim sharded over the 'data' axis (per-device
+        # memory == the sequential single-chip path at data=2*n_chunks).
+        # The reference has no stage-2 scaling story at all (single GPU,
+        # Python chunk loop: pipeline_i2vgen_xl.py:837-909).
+        self.mesh = mesh
         # stage-2 VAE precision: the reference runs the whole i2vgen
         # pipeline (incl. VAE) in fp16 (i2v_enhance_interface.py:69); bf16
         # halves the 720p decoder's live tensors so 64-frame enhance fits
@@ -106,6 +113,12 @@ class EnhancePipeline:
         self._decode_chunk = jax.jit(
             lambda p, z: self.m.vae.apply(
                 p, z, method=AutoencoderKL.decode).astype(jnp.float32))
+        self._denoise_step_dp = jax.jit(
+            self._denoise_step_dp_impl,
+            static_argnames=("num_inference_steps", "chunk_size", "stride",
+                             "overlap_size", "n_chunks"),
+            donate_argnames=("latents",),
+        )
         self._key_image_cond = jax.jit(self._key_image_cond_impl,
                                        static_argnames=("num_frames",))
 
@@ -214,6 +227,70 @@ class EnhancePipeline:
         _, new_latents, _, _ = jax.lax.fori_loop(
             0, n_chunks, chunk_body, (latents, latents, t, si)
         )
+        return new_latents
+
+    def _denoise_step_dp_impl(self, unet_params, latents, si, t, prompt_embeds,
+                              clip_embs, image_latents, offset_key, fps, *,
+                              num_inference_steps, chunk_size, stride,
+                              overlap_size, n_chunks):
+        """One DDIM step with every (chunk, CFG-half) UNet forward BATCHED:
+        B = 2*n_chunks, batch dim sharded over the mesh 'data' axis.  Same
+        math as `_denoise_step_impl` (which runs the halves sequentially to
+        fit one chip); the write-back order and randomized offsets are
+        identical, so the two paths agree to numerics."""
+        from streamingt2v_tpu.parallel.sharding import with_sharding
+
+        m = self.m
+        mesh = self.mesh
+        # gather chunks at static starts: (n_chunks, T, h, w, 4)
+        chunks = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(latents, ci * stride, chunk_size, axis=1)
+            for ci in range(n_chunks)], axis=0)
+        # batch layout: all uncond halves, then all cond halves — matching
+        # the sequential path's lax.map over (uncond, cond) conditionings
+        xb = jnp.concatenate([chunks, chunks], axis=0)
+        ce = jnp.concatenate([clip_embs[:, 0], clip_embs[:, 1]], axis=0)
+        il = jnp.concatenate([image_latents[:, 0], image_latents[:, 1]], axis=0)
+        pe = jnp.concatenate([
+            jnp.broadcast_to(prompt_embeds[0][None],
+                             (n_chunks,) + prompt_embeds.shape[1:]),
+            jnp.broadcast_to(prompt_embeds[1][None],
+                             (n_chunks,) + prompt_embeds.shape[1:]),
+        ], axis=0)
+        B = 2 * n_chunks
+        t_vec = jnp.full((B,), t, jnp.int32)
+        fps_vec = jnp.full((B,), fps, jnp.float32)
+
+        batch_axes = ("batch", None, None, None, None)
+        xb = with_sharding(xb, mesh, batch_axes)
+        il = with_sharding(il, mesh, batch_axes)
+        ce = with_sharding(ce, mesh, ("batch", None))
+        pe = with_sharding(pe, mesh, ("batch", None, None))
+        eps_all = m.unet.apply(unet_params, xb, t_vec, fps_vec, il, ce, pe)
+        eps_all = with_sharding(eps_all, mesh, batch_axes)
+        eps_u, eps_c = eps_all[:n_chunks], eps_all[n_chunks:]
+        eps = eps_u + self.cfg.guidance_scale * (eps_c - eps_u)
+        denoised_all = m.scheduler.step(eps, t, chunks, num_inference_steps)
+
+        # sequential write-back (cheap) reproducing the fori path exactly:
+        # chunk ci+1's `old` frames come from chunk ci's fresh output
+        frame_idx = jnp.arange(chunk_size)[None, :, None, None, None]
+        new_latents = latents
+        for ci in range(n_chunks):
+            denoised = denoised_all[ci][None]
+            start = ci * stride
+            if overlap_size > 0:
+                k = jax.random.fold_in(jax.random.fold_in(offset_key, si), ci)
+                offset = jnp.where(
+                    ci == 0, 0, jax.random.randint(k, (), 0, overlap_size)
+                )
+                old = jax.lax.dynamic_slice_in_dim(
+                    new_latents, start, chunk_size, axis=1
+                )
+                denoised = jnp.where(frame_idx < offset, old, denoised)
+            new_latents = jax.lax.dynamic_update_slice_in_dim(
+                new_latents, denoised, start, axis=1
+            )
         return new_latents
 
     # ---------- video latents ----------
@@ -351,8 +428,12 @@ class EnhancePipeline:
             # whole-video scan is a single multi-minute XLA execution at
             # 720p, which trips execution watchdogs on tunneled platforms;
             # per-step dispatch costs only ~n_steps x RTT.
+            step_fn = self._denoise_step
+            if self.mesh is not None and self.mesh.size > 1:
+                # multi-chip: batch the (chunk x CFG) forwards over 'data'
+                step_fn = self._denoise_step_dp
             for si in range(ts.shape[0]):
-                latents = self._denoise_step(
+                latents = step_fn(
                     self.m.unet_params, latents, jnp.int32(si), ts[si],
                     prompt_embeds, ce, il, okey, float(cfg.fps), **common)
         return self._decode_latents(latents)

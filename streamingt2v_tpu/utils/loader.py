@@ -156,7 +156,7 @@ def _load_component_sd(root: str, sub: str):
     return sd
 
 
-def load_enhance_pipeline(cfg, ckpt_dir: str):
+def load_enhance_pipeline(cfg, ckpt_dir: str, mesh=None):
     """Assemble the stage-2 EnhancePipeline from a local ali-vilab/i2vgen-xl
     checkpoint tree (diffusers layout)."""
     import dataclasses as dc
@@ -232,7 +232,7 @@ def load_enhance_pipeline(cfg, ckpt_dir: str):
         text_encoder=clip_t, text_params=ct_vars,
         scheduler=scheduler, tokenizer=tokenizer,
     )
-    return EnhancePipeline(cfg.enhance, models)
+    return EnhancePipeline(cfg.enhance, models, mesh=mesh)
 
 
 def load_interpolate_pipeline(cfg, ckpt_dir: str):

@@ -249,3 +249,27 @@ def test_enhance_per_step_equals_one_program(enhance_pipeline):
                            use_randomized_blending=True)
     np.testing.assert_allclose(np.asarray(out_step), np.asarray(out_scan),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_enhance_dp_sharded_equals_sequential(enhance_pipeline):
+    """Multi-chip stage 2: the DP path (all (chunk x CFG) UNet forwards
+    batched, batch sharded over the mesh 'data' axis) matches the
+    single-chip sequential path — same randomized offsets, same write-back
+    order (4 virtual devices)."""
+    from streamingt2v_tpu.config import MeshConfig
+    from streamingt2v_tpu.parallel.mesh import create_mesh
+
+    pipe, ucfg = enhance_pipeline
+    rng = np.random.RandomState(2)
+    video = jnp.asarray(rng.rand(8, 32, 32, 3) * 2 - 1, jnp.float32)
+    keys = [jnp.asarray(rng.rand(32, 32, 3) * 2 - 1, jnp.float32) for _ in range(3)]
+    pe = jnp.asarray(rng.randn(2, 7, ucfg.cross_attention_dim), jnp.float32)
+    out_seq = pipe.enhance(video, keys, prompt_embeds=pe,
+                           use_randomized_blending=True)
+
+    mesh = create_mesh(MeshConfig(data=4))
+    dp = EnhancePipeline(pipe.cfg, pipe.m, mesh=mesh)
+    out_dp = dp.enhance(video, keys, prompt_embeds=pe,
+                        use_randomized_blending=True)
+    np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_seq),
+                               atol=1e-5, rtol=1e-5)
