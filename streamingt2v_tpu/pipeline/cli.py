@@ -92,7 +92,7 @@ def main(argv=None) -> int:
         stage1 = load_stage1_checkpoints(stage1, args.ckpt_dir)
 
     enhance = None if args.skip_enhance else _maybe_build_enhance(cfg, args, mesh)
-    interp = None if args.skip_interpolation else _maybe_build_interpolate(cfg, args)
+    interp = None if args.skip_interpolation else _maybe_build_interpolate(cfg, args, mesh)
     pipe = StreamingT2VPipeline(cfg, stage1, enhance, interp)
 
     inputs = (
@@ -119,13 +119,13 @@ def _maybe_build_enhance(cfg, args, mesh=None):
     return load_enhance_pipeline(cfg, args.ckpt_dir, mesh=mesh)
 
 
-def _maybe_build_interpolate(cfg, args):
+def _maybe_build_interpolate(cfg, args, mesh=None):
     if args.tiny or not args.ckpt_dir:
         print("[streamingt2v_tpu] stage 3 (interpolation) skipped: no checkpoints")
         return None
     from streamingt2v_tpu.utils.loader import load_interpolate_pipeline
 
-    return load_interpolate_pipeline(cfg, args.ckpt_dir)
+    return load_interpolate_pipeline(cfg, args.ckpt_dir, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -178,9 +178,13 @@ class EnhancePipeline:
         timesteps: (S,) int32.  Offsets reproduce the eager path bitwise:
         fold_in(offset_key, si, ci), zero for the first chunk.
         """
+        step_impl = self._denoise_step_impl
+        if self.mesh is not None and self.mesh.size > 1:
+            step_impl = self._denoise_step_dp_impl
+
         def step_body(latents, si_t):
             si, t = si_t
-            return self._denoise_step_impl(
+            return step_impl(
                 unet_params, latents, si, t, prompt_embeds, clip_embs,
                 image_latents, offset_key, fps,
                 num_inference_steps=num_inference_steps,

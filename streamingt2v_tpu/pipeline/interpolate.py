@@ -24,14 +24,25 @@ from streamingt2v_tpu.models.vfi import MultiScaleFlow, interpolate_pair
 
 class InterpolatePipeline:
     def __init__(self, model: MultiScaleFlow, params, tta: bool = True,
-                 pair_batch: int = 8):
+                 pair_batch: int = 8, mesh=None):
         self.model = model
         self.params = params
         self.tta = tta
         self.pair_batch = pair_batch
-        self._run = jax.jit(
-            lambda p, i0, i1: interpolate_pair(self.model, p, i0, i1, tta=self.tta)
-        )
+        # multi-chip: frame pairs are independent — shard the pair batch
+        # over the mesh 'data' axis (pairs don't interact; zero collectives)
+        self.mesh = mesh
+
+        def run(p, i0, i1):
+            from streamingt2v_tpu.parallel.sharding import with_sharding
+
+            axes = ("batch", None, None, None)
+            i0 = with_sharding(i0, mesh, axes)
+            i1 = with_sharding(i1, mesh, axes)
+            out = interpolate_pair(self.model, p, i0, i1, tta=self.tta)
+            return with_sharding(out, mesh, axes)
+
+        self._run = jax.jit(run)
 
     def interpolate_video(self, video: jax.Array, target_len: Optional[int] = None) -> jax.Array:
         """video: (F, H, W, 3) in [0,1] -> (target_len, H, W, 3) in [0,1].

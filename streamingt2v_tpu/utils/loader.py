@@ -235,7 +235,7 @@ def load_enhance_pipeline(cfg, ckpt_dir: str, mesh=None):
     return EnhancePipeline(cfg.enhance, models, mesh=mesh)
 
 
-def load_interpolate_pipeline(cfg, ckpt_dir: str):
+def load_interpolate_pipeline(cfg, ckpt_dir: str, mesh=None):
     """Assemble the stage-3 pipeline from the EMA-VFI .pkl checkpoint."""
     import jax
     import jax.numpy as jnp
@@ -257,4 +257,4 @@ def load_interpolate_pipeline(cfg, ckpt_dir: str):
     img = jnp.zeros((1, 64, 64, 3))
     tmpl = jax.eval_shape(model.init, jax.random.PRNGKey(0), img, img)
     params, _ = ck.convert_state_dict(sd, vfi_map(cfg.vfi), tmpl)
-    return InterpolatePipeline(model, params, tta=cfg.vfi.tta)
+    return InterpolatePipeline(model, params, tta=cfg.vfi.tta, mesh=mesh)

@@ -157,6 +157,23 @@ def test_interpolate_video_pipeline(vfi_model):
     np.testing.assert_allclose(np.asarray(out[::2]), np.asarray(video), atol=1e-6)
 
 
+def test_interpolate_video_dp_sharded_matches_single(vfi_model):
+    """Pair batch sharded over a 4-device 'data' mesh == unsharded (frame
+    pairs are independent; zero collectives)."""
+    from streamingt2v_tpu.config import MeshConfig
+    from streamingt2v_tpu.parallel.mesh import create_mesh
+    from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
+
+    model, params, cfg = vfi_model
+    video = jnp.asarray(np.random.RandomState(5).rand(5, 32, 32, 3), jnp.float32)
+    base = InterpolatePipeline(model, params, tta=False, pair_batch=4)
+    mesh = create_mesh(MeshConfig(data=4))
+    dp = InterpolatePipeline(model, params, tta=False, pair_batch=4, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(dp.interpolate_video(video)),
+        np.asarray(base.interpolate_video(video)), atol=1e-5, rtol=1e-5)
+
+
 def test_interpolate_video_target_len_even(vfi_model):
     from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
 
