@@ -154,14 +154,34 @@ class TransformerTemporal(nn.Module):
         x_in = x
         s, bias = _gn_params(self, "norm", c)
         h = group_norm(x, s, bias, num_groups=self.groups, eps=1e-6)
-        h = h.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, t, c)
+        # Spatial-major layout: the reference rearranges the whole
+        # activation b t h w c -> (b h w) t c around the block
+        # (diffusers TransformerTemporalModel) — two full HBM permutations
+        # plus head-split transposes inside each attention.  LN/FF/Dense
+        # are position-independent, so the block runs in (b t, hw, c) and
+        # only q/k/v/o transpose around the T-axis self-attentions, in ONE
+        # permutation that also folds heads (same redesign as the stage-1
+        # VideoTransformerBlock, docs/PERF.md).
+        sdim = hh * ww
+        hd, dh = self.heads, self.dim_head
+        h = h.reshape(b * t, sdim, c)
         h = nn.Dense(inner, name="proj_in")(h)
+
+        def to_time(z):
+            return z.reshape(b, t, sdim, hd, dh).transpose(0, 2, 3, 1, 4).reshape(
+                b * sdim * hd, t, dh)
+
+        def from_time(z):
+            return z.reshape(b, sdim, hd, t, dh).transpose(0, 3, 1, 2, 4).reshape(
+                b * t, sdim, hd * dh)
+
         for d in range(self.depth):
             # attn2 is a second self-attention (double_self_attention)
             h = BasicTransformerBlock(self.heads, self.dim_head, context_dim=None,
-                                      name=f"block_{d}")(h, None)
+                                      name=f"block_{d}")(
+                h, None, pre=to_time, post=from_time, pre_split=True)
         h = nn.Dense(c, name="proj_out")(h)
-        h = h.reshape(b, hh, ww, t, c).transpose(0, 3, 1, 2, 4)
+        h = h.reshape(b, t, hh, ww, c)
         return x_in + h
 
 

@@ -196,7 +196,12 @@ class BasicTransformerBlock(nn.Module):
     use_apm: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, *, pre=None, post=None,
+                 pre_split=False):
+        """`pre`/`post`/`pre_split` are layout adapters forwarded to BOTH
+        attentions — valid only when they are self-attentions over the same
+        folded axis (the temporal-over-T use: TransformerTemporal runs the
+        block in spatial-major layout and transposes just q/k/v/o)."""
         if self.use_apm and context is not None:
             context = APMContextMixer(name="apm")(context)
         c = x.shape[-1]
@@ -206,12 +211,13 @@ class BasicTransformerBlock(nn.Module):
             self.heads, self.dim_head,
             context_dim=self.context_dim if self.disable_self_attn else None,
             name="attn1",
-        )(h, context if self.disable_self_attn else None)
+        )(h, context if self.disable_self_attn else None,
+          pre=pre, post=post, pre_split=pre_split)
         s2, b2 = _ln_params(self, "norm2", c)
         h = layer_norm(x, s2, b2)
         x = x + CrossAttention(
             self.heads, self.dim_head, context_dim=self.context_dim, name="attn2"
-        )(h, context)
+        )(h, context, pre=pre, post=post, pre_split=pre_split)
         s3, b3 = _ln_params(self, "norm3", c)
         x = FeedForward(c, name="ff")(x, ln=(s3, b3), residual=True)
         return x
