@@ -122,6 +122,38 @@ class EnhancePipeline:
         self._key_image_cond = jax.jit(self._key_image_cond_impl,
                                        static_argnames=("num_frames",))
 
+    # ---------- HBM residency (utils.residency) ----------
+
+    def offload_params(self) -> None:
+        """Move all stage-2 params to host RAM (the TPU-native use_memopt;
+        see utils/residency.py).  Restored lazily by `ensure_on_device`."""
+        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
+
+        m = self.m
+        if m.unet_params is None or tree_is_on_host(m.unet_params):
+            return
+        shared_vae = self._vae_params is m.vae_params
+        m.unet_params = tree_to_host(m.unet_params)
+        m.clip_vision_params = tree_to_host(m.clip_vision_params)
+        m.text_params = tree_to_host(m.text_params)
+        m.vae_params = tree_to_host(m.vae_params)
+        self._vae_params = (m.vae_params if shared_vae
+                            else tree_to_host(self._vae_params))
+
+    def ensure_on_device(self) -> None:
+        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device
+
+        m = self.m
+        if m.unet_params is None or not tree_is_on_host(m.unet_params):
+            return
+        shared_vae = self._vae_params is m.vae_params
+        m.unet_params = tree_on_device(m.unet_params)
+        m.clip_vision_params = tree_on_device(m.clip_vision_params)
+        m.text_params = tree_on_device(m.text_params)
+        m.vae_params = tree_on_device(m.vae_params)
+        self._vae_params = (m.vae_params if shared_vae
+                            else tree_on_device(self._vae_params))
+
     # ---------- conditioning ----------
 
     def encode_prompts(self, prompt: Optional[str] = None,
@@ -379,6 +411,7 @@ class EnhancePipeline:
         overlap_size: Optional[int] = None,
     ) -> jax.Array:
         cfg = self.cfg
+        self.ensure_on_device()
         seed = cfg.seed if seed is None else seed
         blending = cfg.use_randomized_blending if use_randomized_blending is None else use_randomized_blending
         chunk_size = chunk_size if chunk_size is not None else cfg.chunk_size

@@ -33,11 +33,43 @@ class StreamingT2VPipeline:
         stage1: Optional[Stage1Pipeline] = None,
         enhance: Optional[EnhancePipeline] = None,
         interpolate: Optional[InterpolatePipeline] = None,
+        offload_between_stages: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.stage1 = stage1
         self.enhance = enhance
         self.interpolate = interpolate
+        # Stage-sequential HBM residency (TPU-native use_memopt,
+        # utils/residency.py): with >=2 stages on ONE device, the stage
+        # model sets (~14 GB bf16 at production width) cannot co-reside
+        # with 720p activations in 16 GB — swap whole param trees at the
+        # host-side stage boundaries.  None = auto: on iff single device
+        # and more than one stage present.
+        self.offload_between_stages = offload_between_stages
+
+    def _offload_active(self) -> bool:
+        if self.offload_between_stages is not None:
+            return self.offload_between_stages
+        import jax
+
+        n_stages = sum(s is not None
+                       for s in (self.stage1, self.enhance, self.interpolate))
+        try:
+            return n_stages > 1 and jax.device_count() == 1
+        except Exception:
+            return False
+
+    def _make_resident(self, active: str) -> None:
+        """Offload every stage except `active` (no-op unless offloading)."""
+        if not self._offload_active():
+            return
+        for name, stage in (("stage1", self.stage1), ("enhance", self.enhance),
+                            ("interpolate", self.interpolate)):
+            if stage is None:
+                continue
+            if name != active:
+                stage.offload_params()
+        # the active stage restores lazily via its own ensure_on_device()
 
     def image_to_video(self, image_u8: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
         """uint8 (H, W, 3) -> uint8 stage-1 video ((num_frames+1)//2, 576, 1024, 3)."""
@@ -47,6 +79,7 @@ class StreamingT2VPipeline:
         )
 
         cfg = self.cfg
+        self._make_resident("stage1")
         img = media.resize_to_stage1(image_u8, cfg.height, cfg.width)
         x = jnp.asarray(media.to_model_range(img))
         # OOM degradation ladder: retry with halved VAE decode chunks
@@ -74,6 +107,7 @@ class StreamingT2VPipeline:
                       seed: Optional[int] = None) -> np.ndarray:
         """Stage 2: upscale to (enhance.height, enhance.width) + SDEdit."""
         cfg = self.cfg.enhance
+        self._make_resident("enhance")
         video = media.resize_video(video_u8, cfg.height, cfg.width)
         image = media.resize_video(image_u8[None], cfg.height, cfg.width)[0]
         video_f = jnp.asarray(media.to_model_range(video))
@@ -88,6 +122,7 @@ class StreamingT2VPipeline:
 
     def interpolate_video(self, video_u8: np.ndarray) -> np.ndarray:
         """Stage 3: 2x interpolation to num_frames."""
+        self._make_resident("interpolate")
         video = jnp.asarray(video_u8.astype(np.float32) / 255.0)
         with stage_timer("stage3_vfi"):
             out = self.interpolate.interpolate_video(video, self.cfg.num_frames)

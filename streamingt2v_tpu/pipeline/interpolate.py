@@ -44,10 +44,24 @@ class InterpolatePipeline:
 
         self._run = jax.jit(run)
 
+    def offload_params(self) -> None:
+        """Params to host RAM (TPU-native use_memopt, utils/residency.py)."""
+        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
+
+        if not tree_is_on_host(self.params):
+            self.params = tree_to_host(self.params)
+
+    def ensure_on_device(self) -> None:
+        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device
+
+        if tree_is_on_host(self.params):
+            self.params = tree_on_device(self.params)
+
     def interpolate_video(self, video: jax.Array, target_len: Optional[int] = None) -> jax.Array:
         """video: (F, H, W, 3) in [0,1] -> (target_len, H, W, 3) in [0,1].
 
         target_len defaults to 2*F-1 (pure 2x minus one)."""
+        self.ensure_on_device()
         f = video.shape[0]
         if target_len is not None:
             video = video[: target_len // 2 + 1]

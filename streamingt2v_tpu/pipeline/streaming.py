@@ -154,6 +154,34 @@ class Stage1Pipeline:
                                     method=AutoencoderKL.decode))
         return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
 
+    # ---------- HBM residency (utils.residency) ----------
+
+    _PARAM_FIELDS = ("unet_params", "controlnet_params", "svd_unet_params",
+                     "vae_params", "conditioner_params")
+
+    def offload_params(self) -> None:
+        """Move all model params to host RAM, freeing HBM for another
+        stage; restored lazily by `ensure_on_device` (the TPU-native
+        use_memopt — see utils/residency.py)."""
+        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
+
+        if tree_is_on_host(self.models.unet_params):
+            return
+        self.models = dataclasses.replace(
+            self.models,
+            **{f: tree_to_host(getattr(self.models, f))
+               for f in self._PARAM_FIELDS})
+
+    def ensure_on_device(self) -> None:
+        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device
+
+        if not tree_is_on_host(self.models.unet_params):
+            return
+        self.models = dataclasses.replace(
+            self.models,
+            **{f: tree_on_device(getattr(self.models, f))
+               for f in self._PARAM_FIELDS})
+
     # ---------- degradation (utils.resilience OOM ladder) ----------
 
     def with_decode_chunk(self, decode_chunk_size: int) -> "Stage1Pipeline":
@@ -176,6 +204,7 @@ class Stage1Pipeline:
         `num_frames` is the stage-1 target ((pipeline num_frames+1)//2,
         reference inference_i2v.py:249)."""
         cfg = self.cfg
+        self.ensure_on_device()
         m = self.models
         inf = cfg.inference
         seed = cfg.seed if seed is None else seed
