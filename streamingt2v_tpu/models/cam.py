@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from streamingt2v_tpu.ops import group_norm
 from streamingt2v_tpu.ops.attention import attention_pre_split
+from streamingt2v_tpu.parallel.sharding import shard
 
 
 class CAMConditionalModel(nn.Module):
@@ -46,8 +47,15 @@ class CAMConditionalModel(nn.Module):
         s, d = h * w, self.attention_head_dim
 
         def fold(z, fz):
-            return z.reshape(b, fz, s, heads, d).transpose(0, 2, 3, 1, 4).reshape(
-                b * s * heads, fz, d)
+            # staged constraints so GSPMD moves the (tokens, heads) shard
+            # through the reshape/transpose chain instead of falling back
+            # to "involuntary full rematerialization" (replicate +
+            # repartition) at the fold boundaries
+            z = shard(z.reshape(b, fz, s, heads, d),
+                      "batch", None, "tokens", "heads", None)
+            z = shard(z.transpose(0, 2, 3, 1, 4),
+                      "batch", "tokens", "heads", None, None)
+            return z.reshape(b * s * heads, fz, d)
 
         hn = nn.Dense(c, name="proj_in")(hn.reshape(b, f, s, c))
         kv = conditioning.reshape(b, f_cond, s, c)
@@ -56,9 +64,12 @@ class CAMConditionalModel(nn.Module):
         k = fold(nn.Dense(c, use_bias=False, name="to_k")(kv), f_cond)
         v = fold(nn.Dense(c, use_bias=False, name="to_v")(kv), f_cond)
         o = attention_pre_split(q, k, v)
-        # (b s h) f d -> (b, f, s, c)
-        o = o.reshape(b, s, heads, f, d).transpose(0, 3, 1, 2, 4).reshape(
-            b, f, s, c)
+        # (b s h) f d -> (b, f, s, c), constraint-staged like `fold` above
+        o = shard(o.reshape(b, s, heads, f, d),
+                  "batch", "tokens", "heads", None, None)
+        o = shard(o.transpose(0, 3, 1, 2, 4),
+                  "batch", None, "tokens", "heads", None)
+        o = shard(o.reshape(b, f, s, c), "batch", None, "tokens", ("heads",))
         o = nn.Dense(c, name="to_out")(o)
 
         residual = nn.Dense(

@@ -26,8 +26,47 @@ from streamingt2v_tpu.ops.flash_attention import flash_attention
 # the (Lq, Lk) scores is cheaper than a kernel launch.
 _FLASH_MIN_SCORE_ELEMS = 2048 * 2048
 
+# The XLA path writes + re-reads the full (B*H, Lq, Lk) f32 score tensor;
+# above this many TOTAL score bytes the HBM traffic alone exceeds the
+# flash kernel's cost even for rectangular geometries the per-row
+# heuristic above keeps on XLA (stage-2 cross-attention: Lq=14400 x
+# Lk=145 over 190 rows = 1.6 GB of scores per call).
+_FLASH_MIN_SCORE_BYTES = 256 * 1024 * 1024
+
+
+def _use_flash(bh: int, lq: int, lk: int) -> bool:
+    if not _on_tpu():
+        return False
+    if lq * lk >= _FLASH_MIN_SCORE_ELEMS:
+        return True
+    # rectangular: huge q, small kv — flash still wins once the
+    # materialized scores outweigh kernel overheads; lq must be large
+    # enough to fill q blocks
+    return lq >= 4096 and bh * lq * lk * 4 >= _FLASH_MIN_SCORE_BYTES
+
 # Global override for experiments/benchmarks: "flash" | "xla" | "" (auto)
 _FORCED_BACKEND = os.environ.get("STREAMINGT2V_ATTN_BACKEND", "")
+
+# Opt-in ring (blockwise-KV) attention for seq-sharded self-attention
+# (parallel/ring_attention.py): KV shards rotate over the seq axis instead
+# of being gathered / batch-redistributed.  Off by default until wall-clock
+# validated on real multi-chip ICI; correctness + comm volume are pinned on
+# the virtual mesh (tests/test_parallel.py, scripts/ring_comm.py).
+_RING_ATTN = os.environ.get("STREAMINGT2V_RING_ATTN", "0") == "1"
+
+
+def _maybe_ring(qf, kf, vf, mesh):
+    """Return ring-attention output or None if the path does not apply."""
+    if not _RING_ATTN or mesh is None:
+        return None
+    from streamingt2v_tpu.parallel.ring_attention import (
+        ring_attention, ring_attention_available,
+    )
+
+    bh, lq, _ = qf.shape
+    if not ring_attention_available(mesh, bh, lq, kf.shape[1]):
+        return None
+    return ring_attention(qf, kf, vf, mesh)
 
 
 def dot_product_attention(
@@ -144,7 +183,7 @@ def attention_pre_split(
     if backend is None and _FORCED_BACKEND:
         backend = _FORCED_BACKEND
     if backend is None:
-        use_flash = _on_tpu() and lq * lk >= _FLASH_MIN_SCORE_ELEMS
+        use_flash = _use_flash(bh, lq, lk)
     else:
         use_flash = backend == "flash"
 
@@ -197,7 +236,7 @@ def attention(
     if backend is None and _FORCED_BACKEND:
         backend = _FORCED_BACKEND
     if backend is None:
-        use_flash = _on_tpu() and lq * lk >= _FLASH_MIN_SCORE_ELEMS
+        use_flash = _use_flash(b * num_heads, lq, lk)
     else:
         use_flash = backend == "flash"
 

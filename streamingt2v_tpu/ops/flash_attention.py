@@ -35,11 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, pad_k):
     """The softmax scale and ln2 conversion are pre-folded into q by the
     caller (q' = q * scale * log2(e)), so the score block needs no scalar
     multiply and the softmax runs on exp2 — one fewer full VPU pass over
-    the (bq, bk) block per k step each."""
+    the (bq, bk) block per k step each.
+
+    KV padding is handled WITHOUT a per-step mask: padded keys/values are
+    zero, so their scores are exactly 0 in the log2 domain — they add
+    nothing to the accumulator (v=0) and exactly `pad_k * 2^-m` to the
+    denominator, which the finalize step subtracts.  The former per-k-step
+    `lax.cond` iota+select mask HALVED throughput at non-dividing lengths
+    (14400-token stage-2 geometry: 300 ms -> 139 ms, docs/PERF.md round 4).
+    Numerics: the zero scores can raise the running max to 0, which only
+    underflows real contributions if every true score is below about
+    -24 - log2(pad_k) in the log2 domain (20+ sigma for real activations);
+    the correction itself is exact in that regime."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -64,14 +75,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, kv_len, 
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
     )  # (bq, bk) f32, already in the log2 domain
-    if kv_len % block_k != 0:
-        # only the final k block contains padding; branch so the common
-        # blocks skip the per-element iota+select entirely
-        def _mask(s):
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-            return jnp.where(col < kv_len, s, NEG_INF)
-
-        s = jax.lax.cond(j == nk - 1, _mask, lambda s: s, s)
 
     # m/l scratch are (bq, 128) with all lanes equal (full-lane broadcast
     # keeps the VPU layout aligned); slice lane 0 when a (bq, 1) is needed.
@@ -89,7 +92,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, kv_len, 
 
     @pl.when(j == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        denom = l_scr[:, 0:1]
+        if pad_k:
+            denom = denom - pad_k * jnp.exp2(-m_scr[:, 0:1])
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -102,19 +108,48 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-def _pick_block(length: int, maximum: int, granule: int) -> int:
-    """Pick a block size <= maximum (multiple of `granule`) that minimizes
-    the padded total ceil(length/b)*b; ties go to the larger block."""
-    if length <= maximum:
-        return -(-length // granule) * granule
-    best_b, best_padded = granule, None
-    for b in range(maximum, granule - 1, -granule):
-        padded = -(-length // b) * b
-        if best_padded is None or padded < best_padded:
-            best_b, best_padded = b, padded
-            if padded == length:
-                break
-    return best_b
+# Fixed cost of one grid step (DMA issue + kernel dispatch), expressed in
+# score-matrix elements of equivalent MXU work at the d=64 bf16 rate
+# (~1 us/step vs ~100 TF/s => ~4e5 elements).  Without this term a
+# pure min-padding pick degenerates at lengths like 14400 (whose best
+# padding fit is block 128: ceil(14400/128)*128 = 14464) into hundreds of
+# tiny k-blocks per q-block — measured 18 TF/s vs 68 TF/s at the stage-1
+# geometry; the overhead-aware joint pick restores large blocks at the
+# cost of a few % padding (docs/PERF.md round 4).
+_STEP_OVERHEAD_ELEMS = 400_000
+
+
+def _block_candidates(length: int, granule: int, maximum: int) -> list:
+    """All distinct block sizes (granule multiples, <= maximum) that are
+    minimal for some block count n: b(n) = roundup(ceil(length/n), granule)."""
+    out = set()
+    for n in range(1, -(-length // granule) + 1):
+        b = -(-(-(-length // n)) // granule) * granule
+        if b <= maximum:
+            out.add(b)
+        if b <= granule:
+            break
+    return sorted(out, reverse=True) or [granule]
+
+
+def _pick_blocks(lq: int, lk: int, fits) -> tuple:
+    """Jointly pick (block_q, block_k) minimizing
+    n_q * n_k * (b_q * b_k + _STEP_OVERHEAD_ELEMS) subject to the VMEM
+    predicate `fits(bq, bk)`; ties go to larger blocks."""
+    best = None
+    for bq in _block_candidates(lq, 8, 1024):
+        nq = -(-lq // bq)
+        for bk in _block_candidates(lk, 128, 1024):
+            if not fits(bq, bk):
+                continue
+            nk = -(-lk // bk)
+            cost = nq * nk * (bq * bk + _STEP_OVERHEAD_ELEMS)
+            key = (cost, -bq * bk)
+            if best is None or key < best[0]:
+                best = (key, bq, bk)
+    if best is None:  # nothing fits even at minimum blocks; let it be tiny
+        return 8, 128
+    return best[1], best[2]
 
 
 def _attention_reference(q, k, v):
@@ -151,11 +186,15 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     *,
-    block_q: int = 1024,
-    block_k: int = 1024,
+    block_q: int = 0,
+    block_k: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Softmax attention over (B, L, D) tensors, B = batch*heads."""
+    """Softmax attention over (B, L, D) tensors, B = batch*heads.
+
+    block_q/block_k = 0 (default) auto-picks blocks via the joint
+    overhead-aware search; explicit positive values force those blocks
+    (tests / microbenchmarks)."""
     return _flash_core(q, k, v, block_q, block_k, interpret)
 
 
@@ -174,33 +213,32 @@ def _flash_pallas(q, k, v, block_q, block_k, interpret):
     k = _pad_to(k, 2, d_pad)
     v = _pad_to(v, 2, d_pad)
 
-    # Clamp blocks to the scoped-VMEM budget: the default 1024 blocks are
-    # sized for the UNet's d=64 bf16 geometry; the VAE bottleneck runs a
-    # single 512-dim f32 head and blew the 16M cap (measured: 19M).
+    # Joint overhead-aware block pick under the scoped-VMEM budget (the
+    # VAE bottleneck runs a single 512-dim f32 head and blew a 16M cap at
+    # 1024-blocks; the predicate folds that constraint into the search).
     isz = max(q.dtype.itemsize, 2)
 
-    def _vmem(bq, bk):
+    def _fits(bq, bk, budget=14 * 1024 * 1024):
         return (2 * isz * bq * d_pad      # q in, double-buffered
                 + 2 * 2 * isz * bk * d_pad  # k+v in
                 + 2 * isz * bq * d_pad    # out
                 + 2 * 4 * bq * 128        # m/l scratch
-                + 4 * bq * d_pad)         # f32 acc scratch
+                + 4 * bq * d_pad          # f32 acc scratch
+                + 2 * 4 * bq * bk         # s + p f32 intermediates (Mosaic)
+                ) <= budget
 
-    budget = 12 * 1024 * 1024
-    while _vmem(block_q, block_k) > budget and (block_q > 256 or block_k > 256):
-        if block_q >= block_k and block_q > 256:
-            block_q //= 2
-        else:
-            block_k //= 2
-    block_q = _pick_block(lq, block_q, 8)
-    block_k = _pick_block(lk, block_k, 128)
+    if block_q and block_k:  # explicit caller override (tests/benchmarks)
+        block_q = min(block_q, -(-lq // 8) * 8)
+        block_k = min(block_k, -(-lk // 128) * 128)
+    else:
+        block_q, block_k = _pick_blocks(lq, lk, _fits)
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k)
     vp = _pad_to(v, 1, block_k)
     nq = qp.shape[1] // block_q
     nk = kp.shape[1] // block_k
 
-    kernel = functools.partial(_flash_kernel, kv_len=lk, block_k=block_k)
+    kernel = functools.partial(_flash_kernel, pad_k=kp.shape[1] - lk)
     out = pl.pallas_call(
         kernel,
         grid=(b, nq, nk),

@@ -407,3 +407,20 @@ print("OK")
         pytest.skip("TPU backend unavailable")
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "OK" in proc.stdout
+
+
+@pytest.mark.parametrize("b,lq,lk", [(2, 300, 145), (2, 1000, 777),
+                                     (1, 2000, 2000), (2, 130, 7)])
+def test_flash_attention_pad_correction_exact(b, lq, lk):
+    """KV padding is handled by the finalize-time denominator correction
+    (padded zero-keys contribute exactly pad_k * 2^-m), not a per-step
+    mask — these non-dividing lengths all exercise it with the AUTO block
+    pick (the stage-2 14400/3600-token geometries hit the same path)."""
+    rng = np.random.RandomState(1)
+    q = rng.randn(b, lq, 64).astype(np.float32)
+    k = rng.randn(b, lk, 64).astype(np.float32)
+    v = rng.randn(b, lk, 64).astype(np.float32)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref_attention(q, k, v),
+                               atol=5e-5, rtol=5e-5)

@@ -253,3 +253,46 @@ def test_global_batch_from_local_roundtrip():
     arr = global_batch_from_local(mesh, data[sl], global_batch)
     assert arr.shape == (8, 3)
     np.testing.assert_array_equal(np.asarray(arr), data)
+
+
+def test_ring_attention_matches_gathered():
+    """Ring (blockwise-KV ppermute) attention over the seq axis ==
+    single-device attention (parallel/ring_attention.py); q/k/v stay
+    token-sharded, only KV blocks move."""
+    from streamingt2v_tpu.ops.attention import dot_product_attention
+    from streamingt2v_tpu.parallel.ring_attention import (
+        ring_attention, ring_attention_available,
+    )
+
+    mesh = create_mesh(MeshConfig(data=2, seq=4, model=1))
+    rng = np.random.RandomState(0)
+    b, l, d = 4, 512, 64
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    assert ring_attention_available(mesh, b, l, l)
+
+    with mesh:
+        out = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))(q, k, v)
+    ref = dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_moves_only_kv():
+    """The compiled ring program contains collective-permutes totalling
+    (n-1) x local-KV bytes and NO all-gather of the KV."""
+    from streamingt2v_tpu.parallel.ring_attention import ring_attention
+
+    mesh = create_mesh(MeshConfig(data=2, seq=4, model=1))
+    b, l, d = 4, 512, 64
+    avatars = [jax.ShapeDtypeStruct((b, l, d), jnp.float32)] * 3
+    with mesh:
+        txt = (
+            jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))
+            .lower(*avatars).compile().as_text()
+        )
+    assert "all-gather" not in txt
+    n_perm = txt.count(" collective-permute(")
+    # 2 tensors (k, v) x (n-1) unrolled hops
+    assert n_perm == 2 * 3, txt.count("collective-permute")
