@@ -56,19 +56,34 @@ def shape_bytes(s: str) -> int:
 
 
 def analyze(hlo_text: str):
+    """Count collective bytes in the optimized HLO.
+
+    Dtype caveat: this analysis compiles on the CPU backend (no 8-chip TPU
+    is available), and CPU float-normalization legalizes every bf16 dot to
+    f32 BEFORE the simplifier runs, so converts migrate across collectives
+    and the gathers of bf16 model tensors appear as f32 here.  On TPU the
+    dots stay bf16 and the partitioner places those collectives on the
+    bf16 values, so for every f32 collective we also report the
+    production (bf16-wire) size = bytes/2 — `production_bytes` below.
+    (Round-3's budgets took the raw f32 numbers: ~2x pessimistic.)"""
     per_type: dict[str, dict] = {}
     per_shape: dict[tuple, int] = {}
     for m in _COLLECTIVE_RE.finditer(hlo_text):
         shape, op = m.group(1), m.group(2)
         b = shape_bytes(shape)
-        rec = per_type.setdefault(op, {"count": 0, "bytes": 0})
+        rec = per_type.setdefault(op, {"count": 0, "bytes": 0,
+                                       "production_bytes": 0})
         rec["count"] += 1
         rec["bytes"] += b
+        rec["production_bytes"] += b // 2 if shape.startswith("f32") else b
         per_shape[(op, shape)] = per_shape.get((op, shape), 0) + 1
     top = sorted(per_shape.items(), key=lambda kv: -shape_bytes(kv[0][1]) * kv[1])
     top_shapes = [
         {"op": op, "shape": s, "count": n,
-         "total_bytes": shape_bytes(s) * n}
+         "total_bytes": shape_bytes(s) * n,
+         "production_bytes": (shape_bytes(s) // 2 if s.startswith("f32")
+                              else shape_bytes(s)) * n,
+         "production_dtype": "bf16" if s.startswith("f32") else s.split("[")[0]}
         for (op, s), n in top[:12]
     ]
     return per_type, top_shapes
@@ -171,6 +186,7 @@ def main() -> None:
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(u_tmpl))
     n_params += sum(int(np.prod(a.shape)) for a in jax.tree.leaves(c_tmpl))
 
+    total_prod = sum(r["production_bytes"] for r in per_type.values())
     report = {
         "mesh": {"data": d, "seq": s, "model": m},
         "geometry": {"B": B, "T": T, "FC": FC, "H": H, "W": W,
@@ -179,6 +195,10 @@ def main() -> None:
         "flops_per_step": flops,
         "collectives": per_type,
         "total_collective_bytes": total,
+        "total_production_bytes": total_prod,
+        "dtype_note": "f32 collectives are CPU-float-normalization "
+                      "artifacts of the analysis backend; production "
+                      "(TPU bf16) wire bytes are halved — see analyze().",
         "top_collective_shapes": top_shapes,
     }
     print(json.dumps(report, indent=2))
