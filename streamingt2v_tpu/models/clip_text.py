@@ -142,6 +142,20 @@ class CLIPTokenizer:
         self.cache: Dict[str, str] = {}
 
     @classmethod
+    def synthetic(cls, max_length: int = 77) -> "CLIPTokenizer":
+        """Byte-level tokenizer with an empty merge table — a functional
+        stand-in for the published 49k-BPE vocab when its files are
+        unavailable (random-weights smoke runs at production size).  Every
+        byte maps to a stable id < 514, well inside the text tower's 49408
+        vocab; framing/padding/cleaning behave exactly like the real one."""
+        chars = list(_bytes_to_unicode().values())
+        vocab = {c: i for i, c in enumerate(chars)}
+        vocab.update({c + "</w>": len(chars) + i for i, c in enumerate(chars)})
+        vocab["<|startoftext|>"] = 2 * len(chars)
+        vocab["<|endoftext|>"] = 2 * len(chars) + 1
+        return cls(vocab, [], max_length)
+
+    @classmethod
     def from_files(cls, vocab_path: str, merges_path: str, max_length: int = 77):
         with open(vocab_path) as f:
             vocab = json.load(f)

@@ -55,10 +55,13 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
     pix_scale = 2 ** (len(cfg.controlnet.conditioning_embedding_out_channels) - 1)
     pix = jnp.zeros((1, t, h * pix_scale, w * pix_scale, 3))
 
-    unet_params = unet.init(k[0], x, t_cont, ctx, y)
-    svd_params = svd_unet.init(k[1], x, t_cont, ctx[:, :, :1], y)
-    cn_params = controlnet.init(k[2], x, t_cont, ctx[:, :, :1], y, pix)
-    vae_params = vae.init(k[3], jnp.zeros((1, 2, 32, 32, 3)))
+    # jit each init: eager flax init dispatches one program per op — at
+    # ~30 ms RTT on the tunneled TPU platform that is tens of minutes for
+    # the production-width trees; jitted it is seconds
+    unet_params = jax.jit(unet.init)(k[0], x, t_cont, ctx, y)
+    svd_params = jax.jit(svd_unet.init)(k[1], x, t_cont, ctx[:, :, :1], y)
+    cn_params = jax.jit(controlnet.init)(k[2], x, t_cont, ctx[:, :, :1], y, pix)
+    vae_params = jax.jit(vae.init)(k[3], jnp.zeros((1, 2, 32, 32, 3)))
     batch = {
         "cond_frames_without_noise": jnp.zeros((1, cfg.height, cfg.width, 3)),
         "cond_frames": jnp.zeros((1, cfg.height, cfg.width, 3)),
@@ -66,7 +69,7 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
         "motion_bucket_id": jnp.zeros((1,)),
         "cond_aug": jnp.zeros((1,)),
     }
-    cond_params = conditioner.init(k[4], batch)
+    cond_params = jax.jit(conditioner.init)(k[4], batch)
 
     return StreamingModels(
         unet=unet, unet_params=unet_params,
@@ -103,3 +106,79 @@ def build_pipeline(cfg: PipelineConfig, seed: int = 0,
     if mesh is not None and mesh.size > 1:
         models = shard_stage1_models(models, mesh)
     return Stage1Pipeline(cfg, models)
+
+
+def cast_params_bf16(params):
+    """f32 leaves -> bf16 as ONE jitted donated program: the eager
+    per-leaf form dispatches one ~30 ms-RTT program per distinct shape on
+    the tunneled platform (~700 shapes for a UNet tree)."""
+    return jax.jit(
+        lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t
+        ),
+        donate_argnums=0,
+    )(params)
+
+
+def build_enhance_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
+    """Stage-2 EnhancePipeline at production width with RANDOM weights —
+    the no-checkpoint counterpart of utils.loader.load_enhance_pipeline,
+    for product-geometry runs in environments without the published
+    ali-vilab/i2vgen-xl weights (reference inference_i2v.py:136-141 always
+    downloads them; this environment has no egress)."""
+    import dataclasses
+
+    from streamingt2v_tpu.config import VAEConfig
+    from streamingt2v_tpu.diffusion.ddim import DDIMScheduler
+    from streamingt2v_tpu.models.clip import CLIPVisionTower
+    from streamingt2v_tpu.models.clip_text import (
+        CLIPTextConfig,
+        CLIPTextTower,
+        CLIPTokenizer,
+    )
+    from streamingt2v_tpu.models.enhance.unet import I2VGenXLUNet, I2VGenXLUNetConfig
+    from streamingt2v_tpu.models.vae import AutoencoderKL
+    from streamingt2v_tpu.pipeline.enhance import EnhanceModels, EnhancePipeline
+
+    ucfg = I2VGenXLUNetConfig()
+    vcfg = dataclasses.replace(VAEConfig(), temporal_decoder=False)
+    unet = I2VGenXLUNet(ucfg)
+    vae = AutoencoderKL(vcfg, use_quant_conv=True)
+    clip_v = CLIPVisionTower(CLIPVisionConfig())
+    clip_t = CLIPTextTower(CLIPTextConfig())
+
+    k = jax.random.split(jax.random.PRNGKey(seed), 4)
+    h = w = 8
+    u_params = jax.jit(unet.init)(
+        k[0], jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,)), jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1, 1024)),
+        jnp.zeros((1, 77, 1024)),
+    )
+    v_params = jax.jit(vae.init)(k[1], jnp.zeros((1, 64, 64, 3)))
+    cv_params = jax.jit(clip_v.init)(k[2], jnp.zeros((1, 224, 224, 3)))
+    ct_params = jax.jit(clip_t.init)(k[3], jnp.zeros((1, 77), jnp.int32))
+
+    # UNet + CLIP towers in bf16 (the reference loads the whole i2vgen
+    # pipeline fp16, i2v_enhance_interface.py:69): their f32 params cost
+    # ~5.5 GB of HBM the 38-frame 720p UNet step needs.
+    models = EnhanceModels(
+        unet=unet, unet_params=cast_params_bf16(u_params),
+        vae=vae, vae_params=v_params,
+        clip_vision=clip_v, clip_vision_params=cast_params_bf16(cv_params),
+        text_encoder=clip_t, text_params=cast_params_bf16(ct_params),
+        scheduler=DDIMScheduler(),
+        tokenizer=CLIPTokenizer.synthetic(),
+    )
+    return EnhancePipeline(cfg.enhance, models, mesh=mesh)
+
+
+def build_interpolate_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
+    """Stage-3 InterpolatePipeline with RANDOM weights — the no-checkpoint
+    counterpart of utils.loader.load_interpolate_pipeline."""
+    from streamingt2v_tpu.models.vfi import MultiScaleFlow
+    from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
+
+    model = MultiScaleFlow(cfg.vfi)
+    img = jnp.zeros((1, 64, 64, 3))
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), img, img)
+    return InterpolatePipeline(model, params, tta=cfg.vfi.tta, mesh=mesh)

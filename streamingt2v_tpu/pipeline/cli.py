@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "data-parallel")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight config (smoke testing)")
+    p.add_argument("--random_weights", action="store_true",
+                   help="build stages 2+3 at production width with random "
+                        "weights when no --ckpt_dir is given (full product "
+                        "geometry without the published checkpoints)")
     p.add_argument("--skip_enhance", action="store_true")
     p.add_argument("--skip_interpolation", action="store_true")
     p.add_argument("--set", dest="overrides", action="append", default=[],
@@ -70,6 +74,14 @@ def main(argv=None) -> int:
             use_randomized_blending=args.use_randomized_blending,
             chunk_size=args.chunk_size, overlap_size=args.overlap_size,
         )
+        # the blending geometry lives on the stage-2 config (the reference
+        # threads the same three flags into its enhance interface,
+        # inference_i2v.py:241-247)
+        cfg = dataclasses.replace(cfg, enhance=dataclasses.replace(
+            cfg.enhance,
+            chunk_size=args.chunk_size, overlap_size=args.overlap_size,
+            use_randomized_blending=args.use_randomized_blending,
+        ))
     if args.overrides:
         from streamingt2v_tpu.utils.overrides import apply_overrides
 
@@ -90,6 +102,19 @@ def main(argv=None) -> int:
         from streamingt2v_tpu.utils.loader import load_stage1_checkpoints
 
         stage1 = load_stage1_checkpoints(stage1, args.ckpt_dir)
+    if not args.tiny:
+        # production runs hold weights in bf16 (the reference ships fp16
+        # weights under 16-mixed autocast, config.yaml:8,287); the VAE
+        # stays f32 (disable_first_stage_autocast, config.yaml:310)
+        from streamingt2v_tpu.pipeline.build import cast_params_bf16
+
+        stage1.models = dataclasses.replace(
+            stage1.models,
+            unet_params=cast_params_bf16(stage1.models.unet_params),
+            controlnet_params=cast_params_bf16(stage1.models.controlnet_params),
+            svd_unet_params=cast_params_bf16(stage1.models.svd_unet_params),
+            conditioner_params=cast_params_bf16(stage1.models.conditioner_params),
+        )
 
     enhance = None if args.skip_enhance else _maybe_build_enhance(cfg, args, mesh)
     interp = None if args.skip_interpolation else _maybe_build_interpolate(cfg, args, mesh)
@@ -110,7 +135,14 @@ def main(argv=None) -> int:
 
 
 def _maybe_build_enhance(cfg, args, mesh=None):
-    """Stage 2 requires its own checkpoints; skip with a notice if absent."""
+    """Stage 2 requires its own checkpoints; skip with a notice if absent
+    (or build it at production width with random weights on request)."""
+    if not args.tiny and not args.ckpt_dir and args.random_weights:
+        from streamingt2v_tpu.pipeline.build import build_enhance_random
+
+        print("[streamingt2v_tpu] stage 2 (enhance): random weights at "
+              "production width (--random_weights)")
+        return build_enhance_random(cfg, seed=args.seed, mesh=mesh)
     if args.tiny or not args.ckpt_dir:
         print("[streamingt2v_tpu] stage 2 (enhance) skipped: no checkpoints")
         return None
@@ -120,6 +152,12 @@ def _maybe_build_enhance(cfg, args, mesh=None):
 
 
 def _maybe_build_interpolate(cfg, args, mesh=None):
+    if not args.tiny and not args.ckpt_dir and args.random_weights:
+        from streamingt2v_tpu.pipeline.build import build_interpolate_random
+
+        print("[streamingt2v_tpu] stage 3 (interpolation): random weights "
+              "(--random_weights)")
+        return build_interpolate_random(cfg, seed=args.seed, mesh=mesh)
     if args.tiny or not args.ckpt_dir:
         print("[streamingt2v_tpu] stage 3 (interpolation) skipped: no checkpoints")
         return None

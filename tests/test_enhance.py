@@ -134,6 +134,19 @@ def test_tokenizer_bpe_roundtrip():
     assert np.all(ids[0, 4:] == 301)  # eot padding
 
 
+def test_tokenizer_synthetic():
+    """Byte-level fallback tokenizer: stable framing, ids inside the
+    production 49408 vocab, deterministic across constructions."""
+    tok = CLIPTokenizer.synthetic()
+    ids = np.asarray(tok(["High Quality, HQ, detailed.", ""]))
+    assert ids.shape == (2, 77)
+    assert ids[0, 0] == tok.sot and ids[1, 0] == tok.sot
+    assert ids[1, 1] == tok.eot and np.all(ids[1, 2:] == tok.eot)
+    assert ids.max() < 49408
+    ids2 = np.asarray(CLIPTokenizer.synthetic()(["High Quality, HQ, detailed.", ""]))
+    np.testing.assert_array_equal(ids, ids2)
+
+
 def test_clip_text_tower():
     cfg = CLIPTextConfig.tiny()
     tower = CLIPTextTower(cfg)
