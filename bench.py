@@ -10,7 +10,8 @@ Other configs via --mode:
   stage1   (#3) 200-frame-target autoregressive stage 1 (first chunk +
                 streaming chunks, conditioner+sampler+decode included)
   enhance  (#4) I2VGen-XL enhancement, randomized blending chunk 38/overlap 12
-  full     (#5) stage1 -> enhance -> VFI 2x -> uint8 frames
+  full     (#5) the real product run: 200-frame request -> stage1 AR ->
+                randomized-blending 720p enhance -> VFI 2x -> mp4 artifact
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 baselines are estimated A100 fp16 figures for the same computation,
@@ -271,24 +272,15 @@ def bench_vae() -> None:
 # ---------------------------------------------------------------------------
 
 def _build_stage1(num_frames: int = 200):
-    import dataclasses
-
     from streamingt2v_tpu.config import PipelineConfig
     from streamingt2v_tpu.models.clip import CLIPVisionConfig
     from streamingt2v_tpu.pipeline.build import build_pipeline
 
     cfg = PipelineConfig(num_frames=num_frames)
     t0 = time.time()
-    pipe = build_pipeline(cfg, seed=0, clip_cfg=CLIPVisionConfig())
-    # conditioner (CLIP ViT-H + cond-VAE) in bf16 too: the reference runs
-    # its embedders under fp16 autocast; the f32 tower costs 2.5 GB of HBM
-    pipe.models = dataclasses.replace(
-        pipe.models,
-        unet_params=to_bf16(pipe.models.unet_params),
-        controlnet_params=to_bf16(pipe.models.controlnet_params),
-        svd_unet_params=to_bf16(pipe.models.svd_unet_params),
-        conditioner_params=to_bf16(pipe.models.conditioner_params),
-    )
+    # bf16=True casts each tree right after its init (the f32 trees are
+    # ~19 GB together); the VAE stays f32 per the production config
+    pipe = build_pipeline(cfg, seed=0, clip_cfg=CLIPVisionConfig(), bf16=True)
     log(f"build+init {time.time() - t0:.0f}s")
     return cfg, pipe
 
@@ -320,45 +312,14 @@ def bench_stage1() -> None:
 # ---------------------------------------------------------------------------
 
 def _build_enhance():
-    import dataclasses
-
-    from streamingt2v_tpu.config import EnhanceConfig, VAEConfig
-    from streamingt2v_tpu.diffusion.ddim import DDIMScheduler
-    from streamingt2v_tpu.models.clip import CLIPVisionConfig, CLIPVisionTower
-    from streamingt2v_tpu.models.clip_text import CLIPTextConfig, CLIPTextTower
-    from streamingt2v_tpu.models.enhance.unet import I2VGenXLUNet, I2VGenXLUNetConfig
-    from streamingt2v_tpu.models.vae import AutoencoderKL
-    from streamingt2v_tpu.pipeline.enhance import EnhanceModels, EnhancePipeline
-
-    cfg = EnhanceConfig()
-    ucfg = I2VGenXLUNetConfig()
-    vcfg = dataclasses.replace(VAEConfig(), temporal_decoder=False)
-    unet = I2VGenXLUNet(ucfg)
-    vae = AutoencoderKL(vcfg, use_quant_conv=True)
-    clip_v = CLIPVisionTower(CLIPVisionConfig())
-    clip_t = CLIPTextTower(CLIPTextConfig())
+    from streamingt2v_tpu.config import PipelineConfig
+    from streamingt2v_tpu.pipeline.build import build_enhance_random
 
     t0 = time.time()
-    h, w = 8, 8
-    u_params = jax.jit(unet.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1,)), jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1, 1024)),
-        jnp.zeros((1, 77, 1024)),
-    )
-    v_params = jax.jit(vae.init)(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
-    cv_params = jax.jit(clip_v.init)(jax.random.PRNGKey(2), jnp.zeros((1, 224, 224, 3)))
-    ct_params = jax.jit(clip_t.init)(jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
+    cfg = PipelineConfig()
+    pipe = build_enhance_random(cfg, seed=0)
     log(f"enhance init {time.time() - t0:.0f}s")
-
-    # CLIP towers in bf16 (the reference runs them fp16): their f32 params
-    # cost 3 GB of HBM that the 38-frame 720p UNet step needs.
-    models = EnhanceModels(
-        unet=unet, unet_params=to_bf16(u_params), vae=vae, vae_params=v_params,
-        clip_vision=clip_v, clip_vision_params=to_bf16(cv_params),
-        text_encoder=clip_t, text_params=to_bf16(ct_params),
-        scheduler=DDIMScheduler(),
-    )
-    return cfg, EnhancePipeline(cfg, models)
+    return cfg.enhance, pipe
 
 
 def bench_enhance() -> None:
@@ -390,80 +351,72 @@ def bench_enhance() -> None:
 # config #5 — full pipeline (stage1 -> enhance -> VFI)
 # ---------------------------------------------------------------------------
 
-def bench_full() -> None:
-    """Config #5, staged SEQUENTIALLY: each stage builds, compiles, runs a
-    timed steady-state pass, then frees its params before the next stage —
-    the three production model sets (~14 GB bf16 together) cannot
-    co-reside with activations on one 16 GB chip.  The product path does
-    the same via stage-sequential residency (pipeline/full.py +
-    utils/residency.py); here the stages are never revisited, so freeing
-    beats offloading.  Reported value = frames / sum of steady-state
-    stage times."""
-    import gc
+def bench_full(num_frames: int = 200) -> None:
+    """Config #5 — the REAL product run (reference inference_i2v.py:227-259):
+    one input image -> stage-1 AR ((num_frames+1)//2 frames at 576x1024) ->
+    randomized-blending 720p enhance with keyframe pre-pass -> 2x VFI ->
+    mp4 at 24 fps.  Production widths, random weights (no published
+    checkpoints in this environment), stage-sequential HBM residency.
+
+    Pass 1 compiles everything and writes results/bench_full_*.mp4 (the
+    product artifact); pass 2 reuses every compiled program and is the
+    recorded steady-state number.  Like the reference, frames that do not
+    tile into blending chunks are dropped (i2v_enhance_interface.py:115-118),
+    so 200 requested frames -> 100 stage-1 -> 90 enhanced -> 180 final.
+    """
+    from streamingt2v_tpu.config import PipelineConfig
+    from streamingt2v_tpu.pipeline.build import build_product_random
+    from streamingt2v_tpu.utils import media
+    from streamingt2v_tpu.utils.profiling import reset_timers, timing_report
 
     log(f"devices: {jax.devices()}")
-    num_frames = 56  # scaled-down full run (7 stage-1 chunks' worth: 28->56)
-    rng = np.random.RandomState(0)
+    cfg = PipelineConfig(num_frames=num_frames, use_randomized_blending=True)
+    t0 = time.time()
+    pipe = build_product_random(cfg, seed=0)
+    log(f"build (3 stages, production width) {time.time() - t0:.0f}s")
 
-    # ---- stage 1 ----
-    cfg, stage1 = _build_stage1(num_frames)
-    image = jnp.asarray(rng.rand(cfg.height, cfg.width, 3) * 2 - 1, jnp.float32)
-    t0 = time.time()
-    s1 = stage1.image_to_video(image, num_frames=cfg.stage1_frames, seed=33)
-    np.asarray(s1[-1, 0, 0])
-    log(f"stage1 compile+run {time.time() - t0:.0f}s")
-    t0 = time.time()
-    s1 = stage1.image_to_video(image * 0.99, num_frames=cfg.stage1_frames, seed=34)
-    s1_host = np.asarray(s1)
-    t_s1 = time.time() - t0
-    log(f"stage1 {s1_host.shape[0]} frames {t_s1:.1f}s")
-    del stage1, s1
-    gc.collect()
+    # deterministic synthetic 16:9 input image (no test assets in-repo)
+    yy, xx = np.mgrid[0:720, 0:1280]
+    img = np.stack([
+        (xx * 255 / 1279), (yy * 255 / 719),
+        ((xx + yy) * 255 / (1279 + 719)),
+    ], axis=-1).astype(np.uint8)
+    os.makedirs("results", exist_ok=True)
+    in_path = "results/bench_input.png"
+    import cv2
 
-    # ---- stage 2 ----
-    ecfg, enhance = _build_enhance()
-    pe = jnp.asarray(rng.randn(2, 77, 1024), jnp.bfloat16)
-    up = np.asarray(jax.image.resize(
-        jnp.asarray(s1_host),
-        (s1_host.shape[0], ecfg.height, ecfg.width, 3), "bilinear"))
-    t0 = time.time()
-    enhanced = enhance.enhance(up, [up[0]], prompt_embeds=pe,
-                               use_randomized_blending=False)
-    np.asarray(enhanced[-1, 0, 0])
-    log(f"enhance compile+run {time.time() - t0:.0f}s")
-    t0 = time.time()
-    enhanced = enhance.enhance(up * 0.99, [up[0]], prompt_embeds=pe,
-                               use_randomized_blending=False)
-    enh_host = np.asarray(enhanced)
-    t_enh = time.time() - t0
-    log(f"enhance {enh_host.shape[0]} frames {t_enh:.1f}s")
-    del enhance, enhanced
-    gc.collect()
+    cv2.imwrite(in_path, img[..., ::-1])
 
-    # ---- stage 3 ----
-    from streamingt2v_tpu.config import VFIConfig
-    from streamingt2v_tpu.models.vfi import MultiScaleFlow
-    from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
-
-    vfi_model = MultiScaleFlow(VFIConfig())
-    img = jnp.zeros((1, 256, 256, 3))
-    vfi_params = jax.jit(vfi_model.init)(jax.random.PRNGKey(5), img, img)
-    vfi = InterpolatePipeline(vfi_model, vfi_params, tta=True)
-    ev = jnp.asarray(enh_host)
+    out_path = f"results/bench_full_{num_frames}f.mp4"
+    reset_timers()
     t0 = time.time()
-    out = vfi.interpolate_video(ev)
-    np.asarray(out[-1, 0, 0])
-    log(f"vfi compile+run {time.time() - t0:.0f}s")
-    t0 = time.time()
-    out = vfi.interpolate_video(ev * 0.99)
-    out8 = np.asarray(jnp.clip((out + 1) * 127.5, 0, 255).astype(jnp.uint8))
-    t_vfi = time.time() - t0
-    log(f"vfi {out8.shape[0]} frames {t_vfi:.1f}s")
+    pipe(in_path, out_path, seed=33)
+    pass1 = time.time() - t0
+    rep1 = {k: v["last_s"] for k, v in timing_report().items()}
+    log(f"pass 1 (compile+run) {pass1:.0f}s, stages {json.dumps(rep1)}; "
+        f"artifact {out_path}")
 
-    dt = t_s1 + t_enh + t_vfi
-    log(f"full pipeline: {out8.shape[0]} frames @ {out8.shape[1]}x{out8.shape[2]}"
-        f" in {dt:.1f}s (s1 {t_s1:.1f} + enh {t_enh:.1f} + vfi {t_vfi:.1f})")
-    emit("full_pipeline_frames_per_sec_per_chip", out8.shape[0] / dt, "frames/s",
+    reset_timers()
+    t0 = time.time()
+    pipe(in_path, f"results/bench_full_{num_frames}f_pass2.mp4", seed=34)
+    pass2 = time.time() - t0
+    rep = timing_report()
+    rep2 = {k: v["last_s"] for k, v in rep.items()}
+    log(f"pass 2 (steady state) {pass2:.0f}s, stages {json.dumps(rep2)}")
+
+    cap = cv2.VideoCapture(out_path)
+    n_out = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    # stage-1 steady state doubles as config #3 (same computation at the
+    # same geometry the standalone --mode stage1 measures)
+    s1_frames = cfg.stage1_frames
+    if "stage1_i2v" in rep:
+        emit("stage1_autoregressive_frames_per_sec_per_chip",
+             s1_frames / rep["stage1_i2v"]["last_s"], "frames/s",
+             BASELINES["stage1"])
+    log(f"full pipeline: {n_out} frames @ 720p{cfg.out_fps} in {pass2:.1f}s "
+        f"steady state ({pass1:.1f}s incl. compile)")
+    emit("full_pipeline_frames_per_sec_per_chip", n_out / pass2, "frames/s",
          BASELINES["full"])
 
 

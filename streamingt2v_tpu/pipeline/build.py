@@ -24,9 +24,16 @@ from streamingt2v_tpu.pipeline.streaming import Stage1Pipeline, StreamingModels
 
 
 def build_models(cfg: PipelineConfig, key: jax.Array,
-                 clip_cfg: Optional[CLIPVisionConfig] = None) -> StreamingModels:
+                 clip_cfg: Optional[CLIPVisionConfig] = None,
+                 bf16: bool = False) -> StreamingModels:
     """Construct and randomly initialize all stage-1 modules.  Checkpoint
-    loading replaces the param pytrees afterwards (utils/checkpoint.py)."""
+    loading replaces the param pytrees afterwards (utils/checkpoint.py).
+
+    bf16=True casts each non-VAE tree to bfloat16 IMMEDIATELY after its
+    init (the production weight dtype; the reference ships fp16 under
+    16-mixed autocast, config.yaml:8,287): the full-width f32 trees
+    together are ~19 GB and cannot co-reside on a 16 GB chip.  The VAE
+    stays f32 (disable_first_stage_autocast, config.yaml:310)."""
     import dataclasses
 
     k = jax.random.split(key, 8)
@@ -58,9 +65,10 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
     # jit each init: eager flax init dispatches one program per op — at
     # ~30 ms RTT on the tunneled TPU platform that is tens of minutes for
     # the production-width trees; jitted it is seconds
-    unet_params = jax.jit(unet.init)(k[0], x, t_cont, ctx, y)
-    svd_params = jax.jit(svd_unet.init)(k[1], x, t_cont, ctx[:, :, :1], y)
-    cn_params = jax.jit(controlnet.init)(k[2], x, t_cont, ctx[:, :, :1], y, pix)
+    cast = cast_params_bf16 if bf16 else (lambda t: t)
+    unet_params = cast(jax.jit(unet.init)(k[0], x, t_cont, ctx, y))
+    svd_params = cast(jax.jit(svd_unet.init)(k[1], x, t_cont, ctx[:, :, :1], y))
+    cn_params = cast(jax.jit(controlnet.init)(k[2], x, t_cont, ctx[:, :, :1], y, pix))
     vae_params = jax.jit(vae.init)(k[3], jnp.zeros((1, 2, 32, 32, 3)))
     batch = {
         "cond_frames_without_noise": jnp.zeros((1, cfg.height, cfg.width, 3)),
@@ -69,7 +77,7 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
         "motion_bucket_id": jnp.zeros((1,)),
         "cond_aug": jnp.zeros((1,)),
     }
-    cond_params = jax.jit(conditioner.init)(k[4], batch)
+    cond_params = cast(jax.jit(conditioner.init)(k[4], batch))
 
     return StreamingModels(
         unet=unet, unet_params=unet_params,
@@ -101,8 +109,8 @@ def shard_stage1_models(models: StreamingModels, mesh) -> StreamingModels:
 
 def build_pipeline(cfg: PipelineConfig, seed: int = 0,
                    clip_cfg: Optional[CLIPVisionConfig] = None,
-                   mesh=None) -> Stage1Pipeline:
-    models = build_models(cfg, jax.random.PRNGKey(seed), clip_cfg)
+                   mesh=None, bf16: bool = False) -> Stage1Pipeline:
+    models = build_models(cfg, jax.random.PRNGKey(seed), clip_cfg, bf16=bf16)
     if mesh is not None and mesh.size > 1:
         models = shard_stage1_models(models, mesh)
     return Stage1Pipeline(cfg, models)
@@ -149,27 +157,47 @@ def build_enhance_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
 
     k = jax.random.split(jax.random.PRNGKey(seed), 4)
     h = w = 8
-    u_params = jax.jit(unet.init)(
+    # UNet + CLIP towers in bf16 (the reference loads the whole i2vgen
+    # pipeline fp16, i2v_enhance_interface.py:69), cast right after each
+    # init: their f32 params cost ~5.5 GB of HBM the 38-frame 720p UNet
+    # step needs.
+    u_params = cast_params_bf16(jax.jit(unet.init)(
         k[0], jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1,)), jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1, 1024)),
         jnp.zeros((1, 77, 1024)),
-    )
+    ))
     v_params = jax.jit(vae.init)(k[1], jnp.zeros((1, 64, 64, 3)))
-    cv_params = jax.jit(clip_v.init)(k[2], jnp.zeros((1, 224, 224, 3)))
-    ct_params = jax.jit(clip_t.init)(k[3], jnp.zeros((1, 77), jnp.int32))
+    cv_params = cast_params_bf16(jax.jit(clip_v.init)(
+        k[2], jnp.zeros((1, 224, 224, 3))))
+    ct_params = cast_params_bf16(jax.jit(clip_t.init)(
+        k[3], jnp.zeros((1, 77), jnp.int32)))
 
-    # UNet + CLIP towers in bf16 (the reference loads the whole i2vgen
-    # pipeline fp16, i2v_enhance_interface.py:69): their f32 params cost
-    # ~5.5 GB of HBM the 38-frame 720p UNet step needs.
     models = EnhanceModels(
-        unet=unet, unet_params=cast_params_bf16(u_params),
+        unet=unet, unet_params=u_params,
         vae=vae, vae_params=v_params,
-        clip_vision=clip_v, clip_vision_params=cast_params_bf16(cv_params),
-        text_encoder=clip_t, text_params=cast_params_bf16(ct_params),
+        clip_vision=clip_v, clip_vision_params=cv_params,
+        text_encoder=clip_t, text_params=ct_params,
         scheduler=DDIMScheduler(),
         tokenizer=CLIPTokenizer.synthetic(),
     )
     return EnhancePipeline(cfg.enhance, models, mesh=mesh)
+
+
+def build_product_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
+    """The full 3-stage product at production width with random weights —
+    what the CLI --random_weights path assembles, as one call for benches
+    and scripts.  Stages are offloaded to host as they are built: the
+    bf16 model sets total ~12 GB and cannot all sit in 16 GB of HBM while
+    the next stage initializes (the product run swaps them back in
+    stage-sequentially, pipeline/full.py + utils/residency.py)."""
+    from streamingt2v_tpu.pipeline.full import StreamingT2VPipeline
+
+    stage1 = build_pipeline(cfg, seed=seed, mesh=mesh, bf16=True)
+    stage1.offload_params()
+    enhance = build_enhance_random(cfg, seed=seed, mesh=mesh)
+    enhance.offload_params()
+    interp = build_interpolate_random(cfg, seed=seed, mesh=mesh)
+    return StreamingT2VPipeline(cfg, stage1, enhance, interp)
 
 
 def build_interpolate_random(cfg: PipelineConfig, seed: int = 0, mesh=None):

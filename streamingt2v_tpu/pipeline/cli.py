@@ -97,24 +97,26 @@ def main(argv=None) -> int:
         d, s, m = (int(v) for v in args.mesh.split(","))
         mesh = create_mesh(MeshConfig(data=d, seq=s, model=m))
 
-    stage1 = build_pipeline(cfg, seed=args.seed, mesh=mesh)
+    # production runs hold weights in bf16 (the reference ships fp16
+    # weights under 16-mixed autocast, config.yaml:8,287); the VAE stays
+    # f32 (disable_first_stage_autocast, config.yaml:310).  bf16 at BUILD
+    # time: the full-width f32 trees are ~19 GB together and cannot
+    # co-reside on a 16 GB chip even transiently.
+    stage1 = build_pipeline(cfg, seed=args.seed, mesh=mesh, bf16=not args.tiny)
     if args.ckpt_dir:
         from streamingt2v_tpu.utils.loader import load_stage1_checkpoints
 
         stage1 = load_stage1_checkpoints(stage1, args.ckpt_dir)
-    if not args.tiny:
-        # production runs hold weights in bf16 (the reference ships fp16
-        # weights under 16-mixed autocast, config.yaml:8,287); the VAE
-        # stays f32 (disable_first_stage_autocast, config.yaml:310)
-        from streamingt2v_tpu.pipeline.build import cast_params_bf16
+        if not args.tiny:
+            from streamingt2v_tpu.pipeline.build import cast_params_bf16
 
-        stage1.models = dataclasses.replace(
-            stage1.models,
-            unet_params=cast_params_bf16(stage1.models.unet_params),
-            controlnet_params=cast_params_bf16(stage1.models.controlnet_params),
-            svd_unet_params=cast_params_bf16(stage1.models.svd_unet_params),
-            conditioner_params=cast_params_bf16(stage1.models.conditioner_params),
-        )
+            stage1.models = dataclasses.replace(
+                stage1.models,
+                unet_params=cast_params_bf16(stage1.models.unet_params),
+                controlnet_params=cast_params_bf16(stage1.models.controlnet_params),
+                svd_unet_params=cast_params_bf16(stage1.models.svd_unet_params),
+                conditioner_params=cast_params_bf16(stage1.models.conditioner_params),
+            )
 
     enhance = None if args.skip_enhance else _maybe_build_enhance(cfg, args, mesh)
     interp = None if args.skip_interpolation else _maybe_build_interpolate(cfg, args, mesh)

@@ -132,13 +132,26 @@ class EnhancePipeline:
         m = self.m
         if m.unet_params is None or tree_is_on_host(m.unet_params):
             return
-        shared_vae = self._vae_params is m.vae_params
-        m.unet_params = tree_to_host(m.unet_params)
-        m.clip_vision_params = tree_to_host(m.clip_vision_params)
-        m.text_params = tree_to_host(m.text_params)
-        m.vae_params = tree_to_host(m.vae_params)
-        self._vae_params = (m.vae_params if shared_vae
-                            else tree_to_host(self._vae_params))
+        # host copies cached across offload cycles (params are immutable
+        # during inference; the tunneled platform downloads at ~12-23 MB/s,
+        # so repeat offloads must not re-read GBs of weights)
+        host = getattr(self, "_host_params", None)
+        if host is None:
+            shared_vae = self._vae_params is m.vae_params
+            host = {
+                "unet_params": tree_to_host(m.unet_params),
+                "clip_vision_params": tree_to_host(m.clip_vision_params),
+                "text_params": tree_to_host(m.text_params),
+                "vae_params": tree_to_host(m.vae_params),
+            }
+            host["_vae_params"] = (host["vae_params"] if shared_vae
+                                   else tree_to_host(self._vae_params))
+            self._host_params = host
+        m.unet_params = host["unet_params"]
+        m.clip_vision_params = host["clip_vision_params"]
+        m.text_params = host["text_params"]
+        m.vae_params = host["vae_params"]
+        self._vae_params = host["_vae_params"]
 
     def ensure_on_device(self) -> None:
         from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device

@@ -101,7 +101,11 @@ class StreamingT2VPipeline:
             video = with_oom_fallback(
                 *[(lambda p=p: run_synced(p)) for p in pipes]
             )
-        return media.to_uint8(np.asarray(video))
+            # uint8 conversion on device + chunked readback: the tunneled
+            # platform moves ~25-40 MB/s, so the f32 frames (4x the bytes,
+            # and a slow path for GB-sized single buffers) stay on device
+            out = media.fetch_uint8(video)
+        return out
 
     def enhance_video(self, video_u8: np.ndarray, image_u8: np.ndarray,
                       seed: Optional[int] = None) -> np.ndarray:
@@ -110,7 +114,10 @@ class StreamingT2VPipeline:
         self._make_resident("enhance")
         video = media.resize_video(video_u8, cfg.height, cfg.width)
         image = media.resize_video(image_u8[None], cfg.height, cfg.width)[0]
-        video_f = jnp.asarray(media.to_model_range(video))
+        # the video stays a HOST f32 array: the enhance pipeline device-puts
+        # it per VAE chunk, so the full-length 720p f32 buffer never has to
+        # live in HBM (or cross the tunnel as one giant transfer)
+        video_f = media.to_model_range(video)
         image_f = jnp.asarray(media.to_model_range(image))
         with stage_timer("stage2_enhance"):
             if self.cfg.use_randomized_blending:
@@ -118,15 +125,17 @@ class StreamingT2VPipeline:
             else:
                 out = self.enhance.enhance(video_f, [image_f], seed=seed,
                                            use_randomized_blending=False)
-        return media.to_uint8(np.asarray(out))
+            out = media.fetch_uint8(out)
+        return out
 
     def interpolate_video(self, video_u8: np.ndarray) -> np.ndarray:
         """Stage 3: 2x interpolation to num_frames."""
         self._make_resident("interpolate")
-        video = jnp.asarray(video_u8.astype(np.float32) / 255.0)
+        video = media.put_unit_range(video_u8)
         with stage_timer("stage3_vfi"):
             out = self.interpolate.interpolate_video(video, self.cfg.num_frames)
-        return np.clip(np.round(np.asarray(out) * 255.0), 0, 255).astype(np.uint8)
+            out = media.fetch_uint8(out, input_range=(0.0, 1.0))
+        return out
 
     def __call__(self, image_path: str, output_path: str,
                  seed: Optional[int] = None) -> str:

@@ -49,7 +49,12 @@ class InterpolatePipeline:
         from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
 
         if not tree_is_on_host(self.params):
-            self.params = tree_to_host(self.params)
+            # host copy cached across offload cycles (see streaming.py note)
+            host = getattr(self, "_host_params", None)
+            if host is None:
+                host = tree_to_host(self.params)
+                self._host_params = host
+            self.params = host
 
     def ensure_on_device(self) -> None:
         from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device

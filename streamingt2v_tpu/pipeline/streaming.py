@@ -167,10 +167,16 @@ class Stage1Pipeline:
 
         if tree_is_on_host(self.models.unet_params):
             return
-        self.models = dataclasses.replace(
-            self.models,
-            **{f: tree_to_host(getattr(self.models, f))
-               for f in self._PARAM_FIELDS})
+        # host copy cached across offload cycles: inference params never
+        # change, and the tunneled platform reads back at ~12-23 MB/s —
+        # re-downloading GBs of weights on every stage switch would cost
+        # minutes.  Repeat offloads just drop the device references.
+        host = getattr(self, "_host_params", None)
+        if host is None:
+            host = {f: tree_to_host(getattr(self.models, f))
+                    for f in self._PARAM_FIELDS}
+            self._host_params = host
+        self.models = dataclasses.replace(self.models, **host)
 
     def ensure_on_device(self) -> None:
         from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device

@@ -38,6 +38,67 @@ def concat_chunks(chunks: Sequence[np.ndarray]) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# device <-> host video movement.  The tunneled TPU platform moves data at
+# ~25-40 MB/s with a pathological slow path for single buffers >~0.5 GB —
+# so video crosses the link as uint8 (4x fewer bytes than f32) in bounded
+# frame chunks, with range conversion running ON DEVICE.
+# ---------------------------------------------------------------------------
+
+def fetch_uint8(video, input_range=(-1.0, 1.0), frames_per_fetch: int = 32) -> np.ndarray:
+    """Device float video (F, H, W, C) -> host uint8, converting on device
+    and reading back in chunks.  Matches `to_uint8` bit-for-bit (same
+    round-half-to-even then clip)."""
+    import jax
+    import jax.numpy as jnp
+
+    i0, i1 = input_range
+
+    @jax.jit
+    def conv(x):
+        # op order mirrors convert_range exactly so the result is bitwise
+        # identical to to_uint8 on the same floats
+        out = (x.astype(jnp.float32) - i0) / (i1 - i0) * 255.0
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    parts = []
+    for i in range(0, video.shape[0], frames_per_fetch):
+        parts.append(np.asarray(conv(video[i:i + frames_per_fetch])))
+    return np.concatenate(parts, axis=0)
+
+
+def put_model_range(video_u8: np.ndarray, frames_per_put: int = 32):
+    """Host uint8 video -> device float32 [-1, 1], uploading uint8 bytes in
+    chunks and converting on device (identical values to `to_model_range`)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def conv(x):
+        return x.astype(jnp.float32) / 127.5 - 1.0
+
+    parts = []
+    for i in range(0, video_u8.shape[0], frames_per_put):
+        parts.append(conv(jnp.asarray(video_u8[i:i + frames_per_put])))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def put_unit_range(video_u8: np.ndarray, frames_per_put: int = 32):
+    """Host uint8 video -> device float32 [0, 1] (chunked uint8 upload,
+    on-device conversion; identical values to `video/255.0`)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def conv(x):
+        return x.astype(jnp.float32) / 255.0
+
+    parts = []
+    for i in range(0, video_u8.shape[0], frames_per_put):
+        parts.append(conv(jnp.asarray(video_u8[i:i + frames_per_put])))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
 # image loading / resizing (inference_utils.py:37-57, streaming_svd.py:383-385)
 # ---------------------------------------------------------------------------
 
