@@ -73,6 +73,29 @@ RECORDS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "docs", "bench_records.json")
 
 
+def src_hash() -> str:
+    """Hash of the measurement-relevant sources (package + this file).
+    Stamped into each record; replay flags records whose code has changed
+    since they were measured (docs-only commits do not invalidate)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    paths = [os.path.join(root, "bench.py")]
+    for dirpath, dirnames, filenames in os.walk(os.path.join(root, "streamingt2v_tpu")):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        paths.extend(os.path.join(dirpath, f) for f in sorted(filenames)
+                     if f.endswith((".py", ".cpp", ".so")))
+    for p in sorted(paths):
+        h.update(p.encode())
+        try:
+            with open(p, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:12]
+
+
 def emit(metric: str, value: float, unit: str, baseline: float) -> None:
     rec = {
         "metric": metric,
@@ -99,6 +122,7 @@ def _record(rec: dict) -> None:
                 recs = json.load(f)
         rec["recorded_at"] = time.strftime("%Y-%m-%d")
         rec["device"] = str(jax.devices()[0])
+        rec["src"] = src_hash()
         recs[rec["metric"]] = rec
         with open(RECORDS_PATH, "w") as f:
             json.dump(recs, f, indent=1, sort_keys=True)
@@ -115,11 +139,14 @@ def replay_records(exclude: str) -> None:
             recs = json.load(f)
     except Exception:
         return
+    cur = src_hash()
     for metric in sorted(recs):
         if metric == exclude:
             continue
         rec = dict(recs[metric])
         rec["recorded"] = True
+        if rec.get("src") != cur:
+            rec["code_changed_since_record"] = True
         print(json.dumps(rec))
 
 
@@ -359,10 +386,14 @@ def bench_full(num_frames: int = 200) -> None:
     checkpoints in this environment), stage-sequential HBM residency.
 
     Pass 1 compiles everything and writes results/bench_full_*.mp4 (the
-    product artifact); pass 2 reuses every compiled program and is the
-    recorded steady-state number.  Like the reference, frames that do not
-    tile into blending chunks are dropped (i2v_enhance_interface.py:115-118),
-    so 200 requested frames -> 100 stage-1 -> 90 enhanced -> 180 final.
+    product artifact).  Pass 2 re-runs the SAME seed: its wall clock is
+    the steady-state number and its frames must be bitwise-identical to
+    pass 1 (production-geometry determinism).  Pass 3 runs a different
+    seed (must differ) and provides a second steady-state sample.  MAWE
+    and per-stage finiteness are recorded alongside.  Like the reference,
+    frames that do not tile into blending chunks are dropped
+    (i2v_enhance_interface.py:115-118), so 200 requested frames -> 100
+    stage-1 -> 90 enhanced -> 180 final.
     """
     from streamingt2v_tpu.config import PipelineConfig
     from streamingt2v_tpu.pipeline.build import build_product_random
@@ -390,23 +421,53 @@ def bench_full(num_frames: int = 200) -> None:
     out_path = f"results/bench_full_{num_frames}f.mp4"
     reset_timers()
     t0 = time.time()
-    pipe(in_path, out_path, seed=33)
+    frames1 = pipe.run(in_path, out_path, seed=33)
     pass1 = time.time() - t0
     rep1 = {k: v["last_s"] for k, v in timing_report().items()}
+    finite1 = dict(pipe.stage_finite)
     log(f"pass 1 (compile+run) {pass1:.0f}s, stages {json.dumps(rep1)}; "
-        f"artifact {out_path}")
+        f"artifact {out_path}; finite {finite1}")
 
+    # pass 2: SAME seed — steady-state wall clock AND the production-
+    # geometry determinism check (reference seed discipline,
+    # abstract_trainer.py:51-61: same seed must be bitwise-identical)
     reset_timers()
     t0 = time.time()
-    pipe(in_path, f"results/bench_full_{num_frames}f_pass2.mp4", seed=34)
+    frames2 = pipe.run(in_path, f"results/bench_full_{num_frames}f_pass2.mp4",
+                       seed=33)
     pass2 = time.time() - t0
     rep = timing_report()
     rep2 = {k: v["last_s"] for k, v in rep.items()}
-    log(f"pass 2 (steady state) {pass2:.0f}s, stages {json.dumps(rep2)}")
+    bitwise = bool(np.array_equal(frames1, frames2))
+    log(f"pass 2 (steady state, seed 33 again) {pass2:.0f}s, stages "
+        f"{json.dumps(rep2)}; bitwise_identical={bitwise}")
 
-    cap = cv2.VideoCapture(out_path)
-    n_out = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    cap.release()
+    # pass 3: different seed must DIFFER (and gives a 2nd steady sample)
+    t0 = time.time()
+    frames3 = pipe.run(in_path, f"results/bench_full_{num_frames}f_seed34.mp4",
+                       seed=34)
+    pass3 = time.time() - t0
+    seeds_differ = not np.array_equal(frames1, frames3)
+    log(f"pass 3 (steady state, seed 34) {pass3:.0f}s; "
+        f"differs_from_seed33={seeds_differ}")
+
+    # MAWE on the artifact (random weights — a determinism/sanity anchor,
+    # not a quality claim; reference README.md:90-91 cites the metric)
+    mawe_val = float("nan")
+    try:
+        from streamingt2v_tpu.utils.metrics import mawe_chunked, vfi_flow_fn
+
+        pipe.interpolate.ensure_on_device()
+        mawe_val = mawe_chunked(
+            frames1.astype(np.float32) / 255.0,
+            vfi_flow_fn(pipe.interpolate.model, pipe.interpolate.params))
+        log(f"MAWE (random weights) {mawe_val:.4f}")
+    except Exception as e:
+        log(f"MAWE skipped: {e}")
+
+    n_out = int(frames1.shape[0])
+    finite_all = bool(all(finite1.values())) and bool(all(
+        pipe.stage_finite.values()))
     # stage-1 steady state doubles as config #3 (same computation at the
     # same geometry the standalone --mode stage1 measures)
     s1_frames = cfg.stage1_frames
@@ -414,13 +475,31 @@ def bench_full(num_frames: int = 200) -> None:
         emit("stage1_autoregressive_frames_per_sec_per_chip",
              s1_frames / rep["stage1_i2v"]["last_s"], "frames/s",
              BASELINES["stage1"])
-    log(f"full pipeline: {n_out} frames @ 720p{cfg.out_fps} in {pass2:.1f}s "
-        f"steady state ({pass1:.1f}s incl. compile)")
-    emit("full_pipeline_frames_per_sec_per_chip", n_out / pass2, "frames/s",
-         BASELINES["full"])
+    det = {
+        "metric": "product_run_determinism",
+        "value": float(bitwise and seeds_differ and finite_all),
+        "unit": "bool",
+        "vs_baseline": 1.0,
+        "frames": n_out,
+        "same_seed_bitwise_identical": bitwise,
+        "different_seed_differs": seeds_differ,
+        "all_stage_outputs_finite": finite_all,
+        "mawe_random_weights": round(mawe_val, 4),
+    }
+    _record(dict(det))
+    print(json.dumps(det))
+    log(f"full pipeline: {n_out} frames @ 720p{cfg.out_fps} in "
+        f"{min(pass2, pass3):.1f}s steady state ({pass1:.1f}s incl. compile)")
+    emit("full_pipeline_frames_per_sec_per_chip", n_out / min(pass2, pass3),
+         "frames/s", BASELINES["full"])
 
 
 def main() -> None:
+    from streamingt2v_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        log(f"persistent compile cache: {cache_dir}")
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="denoise",
                     choices=["denoise", "vae", "stage1", "enhance", "full"])

@@ -7,6 +7,12 @@ against an 8-device mesh, then walks the optimized HLO for collectives and
 reports bytes moved per step, per collective type, plus the compiler's FLOP
 count.  These numbers back docs/PARALLEL.md's projected v5p-8 speedup.
 
+Backend (round 5): by default the program is AOT-compiled against a REAL
+TPU v5e 2x4 topology (jax.experimental.topologies — no chips needed), so
+the HLO is the actual TPU partitioner's output with production dtypes on
+the wire; the round-4 "halve every f32 collective" CPU-normalization
+heuristic is gone.  --backend cpu keeps the old analysis for comparison.
+
 Usage:  python scripts/comm_budget.py [--mesh data,seq,model] [--out FILE]
 """
 
@@ -55,19 +61,26 @@ def shape_bytes(s: str) -> int:
     return n * _DTYPE_BYTES[dtype]
 
 
-def analyze(hlo_text: str):
+def analyze(hlo_text: str, exact_dtypes: bool):
     """Count collective bytes in the optimized HLO.
 
-    Dtype caveat: this analysis compiles on the CPU backend (no 8-chip TPU
-    is available), and CPU float-normalization legalizes every bf16 dot to
-    f32 BEFORE the simplifier runs, so converts migrate across collectives
-    and the gathers of bf16 model tensors appear as f32 here.  On TPU the
-    dots stay bf16 and the partitioner places those collectives on the
-    bf16 values, so for every f32 collective we also report the
-    production (bf16-wire) size = bytes/2 — `production_bytes` below.
-    (Round-3's budgets took the raw f32 numbers: ~2x pessimistic.)"""
+    exact_dtypes=True (TPU-topology backend): wire dtypes in the HLO ARE
+    the production dtypes — `production_bytes` == `bytes`, no heuristics.
+
+    exact_dtypes=False (CPU backend): CPU float-normalization legalizes
+    every bf16 dot to f32 BEFORE the simplifier runs, so converts migrate
+    across collectives and gathers of bf16 model tensors appear as f32.
+    For those we report production (bf16-wire) size = bytes/2.  This
+    blanket halving under-counts any genuinely-f32 production collective
+    (ADVICE r4) — which is why the topology backend is now the default."""
     per_type: dict[str, dict] = {}
     per_shape: dict[tuple, int] = {}
+
+    def prod_bytes(shape: str, b: int) -> int:
+        if exact_dtypes:
+            return b
+        return b // 2 if shape.startswith("f32") else b
+
     for m in _COLLECTIVE_RE.finditer(hlo_text):
         shape, op = m.group(1), m.group(2)
         b = shape_bytes(shape)
@@ -75,15 +88,15 @@ def analyze(hlo_text: str):
                                        "production_bytes": 0})
         rec["count"] += 1
         rec["bytes"] += b
-        rec["production_bytes"] += b // 2 if shape.startswith("f32") else b
+        rec["production_bytes"] += prod_bytes(shape, b)
         per_shape[(op, shape)] = per_shape.get((op, shape), 0) + 1
     top = sorted(per_shape.items(), key=lambda kv: -shape_bytes(kv[0][1]) * kv[1])
     top_shapes = [
         {"op": op, "shape": s, "count": n,
          "total_bytes": shape_bytes(s) * n,
-         "production_bytes": (shape_bytes(s) // 2 if s.startswith("f32")
-                              else shape_bytes(s)) * n,
-         "production_dtype": "bf16" if s.startswith("f32") else s.split("[")[0]}
+         "production_bytes": prod_bytes(s, shape_bytes(s)) * n,
+         "production_dtype": (s.split("[")[0] if exact_dtypes else
+                              ("bf16" if s.startswith("f32") else s.split("[")[0]))}
         for (op, s), n in top[:12]
     ]
     return per_type, top_shapes
@@ -95,8 +108,27 @@ def main() -> None:
     ap.add_argument("--out", default="")
     ap.add_argument("--width", type=int, default=0,
                     help="override model_channels (0 = production 320)")
+    ap.add_argument("--backend", default="topo", choices=["topo", "cpu"],
+                    help="topo = AOT-compile against a real TPU v5e 2x4 "
+                         "topology (exact wire dtypes); cpu = legacy "
+                         "CPU-backend analysis")
     args = ap.parse_args()
     d, s, m = (int(x) for x in args.mesh.split(","))
+
+    topo_devices = None
+    if args.backend == "topo":
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+        topo_devices = list(topo.devices)
+        # the attention dispatcher keys on jax.default_backend(), which is
+        # "cpu" here (the host process) even though the AOT compile target
+        # is TPU — tell it the target is TPU so the budget measures the
+        # program a real slice would run (flash/ring routing by geometry),
+        # not the CPU einsum fallback (whose KV all-gathers don't exist on
+        # the ring path)
+        os.environ.setdefault("STREAMINGT2V_ASSUME_TPU", "1")
 
     import dataclasses
 
@@ -112,7 +144,7 @@ def main() -> None:
         logical_sharding, param_sharding_tree,
     )
 
-    mesh = create_mesh(MeshConfig(data=d, seq=s, model=m))
+    mesh = create_mesh(MeshConfig(data=d, seq=s, model=m), devices=topo_devices)
     ucfg = VideoUNetConfig()
     if args.width:
         ucfg = dataclasses.replace(
@@ -176,18 +208,23 @@ def main() -> None:
         compiled = lowered.compile()
 
     txt = compiled.as_text()
-    per_type, top_shapes = analyze(txt)
+    per_type, top_shapes = analyze(txt, exact_dtypes=args.backend == "topo")
     total = sum(r["bytes"] for r in per_type.values())
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        flops = 0.0
 
     n_params = sum(int(np.prod(a.shape)) for a in jax.tree.leaves(u_tmpl))
     n_params += sum(int(np.prod(a.shape)) for a in jax.tree.leaves(c_tmpl))
 
     total_prod = sum(r["production_bytes"] for r in per_type.values())
     report = {
+        "backend": args.backend,
+        "ring_attention": os.environ.get("STREAMINGT2V_RING_ATTN", "1") != "0",
         "mesh": {"data": d, "seq": s, "model": m},
         "geometry": {"B": B, "T": T, "FC": FC, "H": H, "W": W,
                      "model_channels": ucfg.model_channels},
@@ -196,9 +233,13 @@ def main() -> None:
         "collectives": per_type,
         "total_collective_bytes": total,
         "total_production_bytes": total_prod,
-        "dtype_note": "f32 collectives are CPU-float-normalization "
-                      "artifacts of the analysis backend; production "
-                      "(TPU bf16) wire bytes are halved — see analyze().",
+        "dtype_note": (
+            "TPU-topology backend: HLO wire dtypes ARE production dtypes; "
+            "production_bytes == bytes (no heuristics)."
+            if args.backend == "topo" else
+            "CPU backend: f32 collectives are float-normalization "
+            "artifacts; production (TPU bf16) wire bytes are halved — "
+            "under-counts genuinely-f32 collectives, see analyze()."),
         "top_collective_shapes": top_shapes,
     }
     print(json.dumps(report, indent=2))

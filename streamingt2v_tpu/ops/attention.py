@@ -47,17 +47,20 @@ def _use_flash(bh: int, lq: int, lk: int) -> bool:
 # Global override for experiments/benchmarks: "flash" | "xla" | "" (auto)
 _FORCED_BACKEND = os.environ.get("STREAMINGT2V_ATTN_BACKEND", "")
 
-# Opt-in ring (blockwise-KV) attention for seq-sharded self-attention
+# Ring (blockwise-KV) attention for seq-sharded self-attention
 # (parallel/ring_attention.py): KV shards rotate over the seq axis instead
-# of being gathered / batch-redistributed.  Off by default until wall-clock
-# validated on real multi-chip ICI; correctness + comm volume are pinned on
-# the virtual mesh (tests/test_parallel.py, scripts/ring_comm.py).
-_RING_ATTN = os.environ.get("STREAMINGT2V_RING_ATTN", "0") == "1"
+# of being gathered / batch-redistributed.  DEFAULT on a multi-seq mesh —
+# it keeps q/o token-sharded (no resharding), never materializes the
+# full-length KV, and each hop overlaps with block compute; equivalence
+# is pinned at production shard shapes (tests/test_parallel.py) and the
+# comm evidence is in scripts/ring_comm.py + docs/PARALLEL.md.  Opt out
+# with STREAMINGT2V_RING_ATTN=0 (falls back to the gather/batch-
+# redistribution paths).
 
 
 def _maybe_ring(qf, kf, vf, mesh):
     """Return ring-attention output or None if the path does not apply."""
-    if not _RING_ATTN or mesh is None:
+    if mesh is None or os.environ.get("STREAMINGT2V_RING_ATTN", "1") == "0":
         return None
     from streamingt2v_tpu.parallel.ring_attention import (
         ring_attention, ring_attention_available,
@@ -84,7 +87,11 @@ def dot_product_attention(
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    # STREAMINGT2V_ASSUME_TPU=1: AOT compiles against a TPU topology from a
+    # CPU host process (scripts/comm_budget.py) — the *target* is TPU even
+    # though the default backend is not.
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("STREAMINGT2V_ASSUME_TPU", "0") == "1")
 
 
 NEG_INF_MASK = -1e30
@@ -190,7 +197,8 @@ def attention_pre_split(
     mesh = get_active_mesh()
     if use_flash:
         if mesh is not None and mesh.size > 1:
-            return _flash_sharded(qf, kf, vf, mesh)
+            o = _maybe_ring(qf, kf, vf, mesh)
+            return o if o is not None else _flash_sharded(qf, kf, vf, mesh)
         return flash_attention(qf, kf, vf)
     # Dim 0 is the callers' (b·s·h) fold (batch, tokens, heads in
     # major-to-minor order — VideoTransformerBlock.to_time_split and
@@ -246,7 +254,9 @@ def attention(
         kf = kh.reshape(b * num_heads, lk, d)
         vf = vh.reshape(b * num_heads, lk, d)
         if mesh is not None and mesh.size > 1:
-            o = _flash_sharded(qf, kf, vf, mesh)
+            o = _maybe_ring(qf, kf, vf, mesh)
+            if o is None:
+                o = _flash_sharded(qf, kf, vf, mesh)
         else:
             o = flash_attention(qf, kf, vf)
         o = o.reshape(b, num_heads, lq, d)

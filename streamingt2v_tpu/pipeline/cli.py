@@ -59,8 +59,10 @@ def main(argv=None) -> int:
     from streamingt2v_tpu.config import PipelineConfig
     from streamingt2v_tpu.pipeline.build import build_pipeline
     from streamingt2v_tpu.pipeline.full import StreamingT2VPipeline
+    from streamingt2v_tpu.utils.compile_cache import enable_persistent_cache
     from streamingt2v_tpu.utils.profiling import timing_report
 
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     if args.tiny:
         cfg = PipelineConfig.tiny()

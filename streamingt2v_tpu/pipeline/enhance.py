@@ -134,9 +134,13 @@ class EnhancePipeline:
             return
         # host copies cached across offload cycles (params are immutable
         # during inference; the tunneled platform downloads at ~12-23 MB/s,
-        # so repeat offloads must not re-read GBs of weights)
+        # so repeat offloads must not re-read GBs of weights).  Keyed on
+        # the identity of the device trees (refreshed on restore) so
+        # replacing params invalidates the cache (see streaming.py note).
+        ids = (id(m.unet_params), id(m.clip_vision_params),
+               id(m.text_params), id(m.vae_params), id(self._vae_params))
         host = getattr(self, "_host_params", None)
-        if host is None:
+        if host is None or getattr(self, "_host_src_ids", None) != ids:
             shared_vae = self._vae_params is m.vae_params
             host = {
                 "unet_params": tree_to_host(m.unet_params),
@@ -147,6 +151,7 @@ class EnhancePipeline:
             host["_vae_params"] = (host["vae_params"] if shared_vae
                                    else tree_to_host(self._vae_params))
             self._host_params = host
+            self._host_src_ids = ids
         m.unet_params = host["unet_params"]
         m.clip_vision_params = host["clip_vision_params"]
         m.text_params = host["text_params"]
@@ -166,6 +171,9 @@ class EnhancePipeline:
         m.vae_params = tree_on_device(m.vae_params)
         self._vae_params = (m.vae_params if shared_vae
                             else tree_on_device(self._vae_params))
+        self._host_src_ids = (id(m.unet_params), id(m.clip_vision_params),
+                              id(m.text_params), id(m.vae_params),
+                              id(self._vae_params))
 
     # ---------- conditioning ----------
 

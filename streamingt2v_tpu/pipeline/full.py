@@ -39,6 +39,9 @@ class StreamingT2VPipeline:
         self.stage1 = stage1
         self.enhance = enhance
         self.interpolate = interpolate
+        # per-stage finiteness of the float outputs from the LAST run —
+        # the production NaN guard (uint8 conversion would mask NaNs)
+        self.stage_finite: dict = {}
         # Stage-sequential HBM residency (TPU-native use_memopt,
         # utils/residency.py): with >=2 stages on ONE device, the stage
         # model sets (~14 GB bf16 at production width) cannot co-reside
@@ -101,6 +104,7 @@ class StreamingT2VPipeline:
             video = with_oom_fallback(
                 *[(lambda p=p: run_synced(p)) for p in pipes]
             )
+            self.stage_finite["stage1"] = bool(jnp.isfinite(video).all())
             # uint8 conversion on device + chunked readback: the tunneled
             # platform moves ~25-40 MB/s, so the f32 frames (4x the bytes,
             # and a slow path for GB-sized single buffers) stay on device
@@ -125,6 +129,9 @@ class StreamingT2VPipeline:
             else:
                 out = self.enhance.enhance(video_f, [image_f], seed=seed,
                                            use_randomized_blending=False)
+            self.stage_finite["enhance"] = bool(np.isfinite(np.asarray(out)).all()
+                                                if isinstance(out, np.ndarray)
+                                                else jnp.isfinite(out).all())
             out = media.fetch_uint8(out)
         return out
 
@@ -134,15 +141,25 @@ class StreamingT2VPipeline:
         video = media.put_unit_range(video_u8)
         with stage_timer("stage3_vfi"):
             out = self.interpolate.interpolate_video(video, self.cfg.num_frames)
+            self.stage_finite["vfi"] = bool(jnp.isfinite(out).all())
             out = media.fetch_uint8(out, input_range=(0.0, 1.0))
         return out
 
-    def __call__(self, image_path: str, output_path: str,
-                 seed: Optional[int] = None) -> str:
+    def run(self, image_path: str, output_path: str,
+            seed: Optional[int] = None) -> np.ndarray:
+        """Full product run; returns the final uint8 frames (F, H, W, 3)
+        in addition to writing the mp4 — for determinism/quality checks
+        on the raw frames (mp4 is lossy)."""
         image = media.load_image(image_path)
         video = self.image_to_video(image, seed)
         if self.enhance is not None:
             video = self.enhance_video(video, image, seed)
         if self.interpolate is not None:
             video = self.interpolate_video(video)
-        return media.save_video(output_path, video, fps=self.cfg.out_fps)
+        media.save_video(output_path, video, fps=self.cfg.out_fps)
+        return video
+
+    def __call__(self, image_path: str, output_path: str,
+                 seed: Optional[int] = None) -> str:
+        self.run(image_path, output_path, seed)
+        return output_path

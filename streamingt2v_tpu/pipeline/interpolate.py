@@ -49,11 +49,14 @@ class InterpolatePipeline:
         from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
 
         if not tree_is_on_host(self.params):
-            # host copy cached across offload cycles (see streaming.py note)
+            # host copy cached across offload cycles (see streaming.py
+            # note); keyed on the device tree's identity so replacing
+            # params invalidates the cache instead of silently reverting
             host = getattr(self, "_host_params", None)
-            if host is None:
+            if host is None or getattr(self, "_host_src_id", None) != id(self.params):
                 host = tree_to_host(self.params)
                 self._host_params = host
+                self._host_src_id = id(self.params)
             self.params = host
 
     def ensure_on_device(self) -> None:
@@ -61,6 +64,7 @@ class InterpolatePipeline:
 
         if tree_is_on_host(self.params):
             self.params = tree_on_device(self.params)
+            self._host_src_id = id(self.params)
 
     def interpolate_video(self, video: jax.Array, target_len: Optional[int] = None) -> jax.Array:
         """video: (F, H, W, 3) in [0,1] -> (target_len, H, W, 3) in [0,1].

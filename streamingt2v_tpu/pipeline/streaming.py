@@ -170,12 +170,17 @@ class Stage1Pipeline:
         # host copy cached across offload cycles: inference params never
         # change, and the tunneled platform reads back at ~12-23 MB/s —
         # re-downloading GBs of weights on every stage switch would cost
-        # minutes.  Repeat offloads just drop the device references.
+        # minutes.  Repeat offloads just drop the device references.  The
+        # cache is keyed on the identity of the device trees it was built
+        # from (refreshed on restore) so replacing params (checkpoint
+        # load, bf16 cast) invalidates it instead of silently reverting.
+        ids = tuple(id(getattr(self.models, f)) for f in self._PARAM_FIELDS)
         host = getattr(self, "_host_params", None)
-        if host is None:
+        if host is None or getattr(self, "_host_src_ids", None) != ids:
             host = {f: tree_to_host(getattr(self.models, f))
                     for f in self._PARAM_FIELDS}
             self._host_params = host
+            self._host_src_ids = ids
         self.models = dataclasses.replace(self.models, **host)
 
     def ensure_on_device(self) -> None:
@@ -187,6 +192,8 @@ class Stage1Pipeline:
             self.models,
             **{f: tree_on_device(getattr(self.models, f))
                for f in self._PARAM_FIELDS})
+        self._host_src_ids = tuple(
+            id(getattr(self.models, f)) for f in self._PARAM_FIELDS)
 
     # ---------- degradation (utils.resilience OOM ladder) ----------
 

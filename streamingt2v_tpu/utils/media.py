@@ -66,22 +66,6 @@ def fetch_uint8(video, input_range=(-1.0, 1.0), frames_per_fetch: int = 32) -> n
     return np.concatenate(parts, axis=0)
 
 
-def put_model_range(video_u8: np.ndarray, frames_per_put: int = 32):
-    """Host uint8 video -> device float32 [-1, 1], uploading uint8 bytes in
-    chunks and converting on device (identical values to `to_model_range`)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def conv(x):
-        return x.astype(jnp.float32) / 127.5 - 1.0
-
-    parts = []
-    for i in range(0, video_u8.shape[0], frames_per_put):
-        parts.append(conv(jnp.asarray(video_u8[i:i + frames_per_put])))
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
-
 def put_unit_range(video_u8: np.ndarray, frames_per_put: int = 32):
     """Host uint8 video -> device float32 [0, 1] (chunked uint8 upload,
     on-device conversion; identical values to `video/255.0`)."""

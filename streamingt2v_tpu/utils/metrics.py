@@ -44,6 +44,36 @@ def mawe(video: jax.Array, flow_fn: FlowFn, c: float = 9.5) -> jax.Array:
     return w / (c * jnp.maximum(ofs, 1e-6))
 
 
+def mawe_chunked(video01_host, flow_fn: FlowFn, c: float = 9.5,
+                 pairs_per_call: int = 8) -> float:
+    """MAWE over a HOST-resident [0,1] float video of production length
+    (e.g. 180x720p — the whole video and its flow batch would not fit
+    HBM at once).  Frame pairs stream through the flow net in chunks;
+    the pair-weighted means reproduce `mawe` on the full video."""
+    import numpy as np
+
+    f = int(video01_host.shape[0])
+    w_sum = 0.0
+    ofs_sum = 0.0
+    n_pairs = 0
+    for i in range(0, f - 1, pairs_per_call):
+        n = min(pairs_per_call, f - 1 - i)
+        f0 = jnp.asarray(video01_host[i:i + n], jnp.float32)
+        f1 = jnp.asarray(video01_host[i + 1:i + 1 + n], jnp.float32)
+        flow = flow_fn(f0, f1)
+        from streamingt2v_tpu.ops.warp import backward_warp
+
+        warped = backward_warp(f1, flow)
+        w = float(jnp.mean((warped - f0) ** 2))
+        ofs = float(jnp.mean(jnp.sqrt(jnp.sum(flow**2, axis=-1) + 1e-12)))
+        w_sum += w * n
+        ofs_sum += ofs * n
+        n_pairs += n
+    w_mean = w_sum / max(n_pairs, 1)
+    ofs_mean = ofs_sum / max(n_pairs, 1)
+    return float(w_mean / (c * max(ofs_mean, 1e-6)))
+
+
 def vfi_flow_fn(model, params) -> FlowFn:
     """Adapt a MultiScaleFlow model: full-timestep flow of the first-frame
     branch as the t->t+1 optical flow estimate."""

@@ -296,3 +296,68 @@ def test_ring_attention_moves_only_kv():
     n_perm = txt.count(" collective-permute(")
     # 2 tensors (k, v) x (n-1) unrolled hops
     assert n_perm == 2 * 3, txt.count("collective-permute")
+
+
+def test_ring_attention_production_shard_shapes():
+    """Ring attention at the PRODUCTION token geometry of the shipped
+    (2,4,1) mapping: L=9216 spatial tokens sharded 9216/4 = 2304 per
+    device (docs/PARALLEL.md).  Row count is reduced (the full 250-row
+    gathered reference does not fit a CPU host) — the per-device TOKEN
+    shard shape is the production one.  Exactness vs the single-device
+    einsum reference."""
+    from streamingt2v_tpu.ops.attention import dot_product_attention
+    from streamingt2v_tpu.parallel.ring_attention import (
+        ring_attention, ring_attention_available,
+    )
+
+    mesh = create_mesh(MeshConfig(data=2, seq=4, model=1))
+    rng = np.random.RandomState(1)
+    b, l, d = 4, 9216, 64
+    q = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, l, d), jnp.float32)
+    assert ring_attention_available(mesh, b, l, l)
+
+    with mesh:
+        out = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))(q, k, v)
+    ref = dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_attention_dispatch_routes_to_ring_by_default():
+    """With a multi-seq mesh active, the flash-geometry dispatch in
+    ops/attention.py must take the ring path by default: the compiled
+    program rotates KV via collective-permute and contains NO all-gather
+    (the pre-round-5 gather/batch-redistribution fallback)."""
+    from streamingt2v_tpu.ops.attention import attention_pre_split
+    from streamingt2v_tpu.parallel.sharding import active_mesh
+
+    mesh = create_mesh(MeshConfig(data=2, seq=4, model=1))
+    b, l, d = 8, 512, 64
+    avatars = [jax.ShapeDtypeStruct((b, l, d), jnp.float32)] * 3
+    with mesh, active_mesh(mesh):
+        txt = (
+            jax.jit(lambda q, k, v: attention_pre_split(
+                q, k, v, backend="flash"))
+            .lower(*avatars).compile().as_text()
+        )
+    assert " collective-permute(" in txt
+    assert "all-gather" not in txt
+
+
+def test_attention_dispatch_ring_opt_out(monkeypatch):
+    """STREAMINGT2V_RING_ATTN=0 disables the ring path (falls back to the
+    batch-redistribution flash path, which needs real TPU Pallas — so the
+    gate itself is what is checked here)."""
+    from streamingt2v_tpu.ops.attention import _maybe_ring
+
+    mesh = create_mesh(MeshConfig(data=2, seq=4, model=1))
+    b, l, d = 8, 512, 64
+    q = jnp.asarray(np.random.RandomState(2).randn(b, l, d), jnp.float32)
+    monkeypatch.setenv("STREAMINGT2V_RING_ATTN", "0")
+    assert _maybe_ring(q, q, q, mesh) is None
+    monkeypatch.delenv("STREAMINGT2V_RING_ATTN")
+    with mesh:
+        out = _maybe_ring(q, q, q, mesh)
+    assert out is not None and out.shape == q.shape
