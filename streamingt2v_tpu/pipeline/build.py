@@ -23,34 +23,35 @@ from streamingt2v_tpu.models.video_unet import VideoUNet
 from streamingt2v_tpu.pipeline.streaming import Stage1Pipeline, StreamingModels
 
 
-def build_models(cfg: PipelineConfig, key: jax.Array,
-                 clip_cfg: Optional[CLIPVisionConfig] = None,
-                 bf16: bool = False) -> StreamingModels:
-    """Construct and randomly initialize all stage-1 modules.  Checkpoint
-    loading replaces the param pytrees afterwards (utils/checkpoint.py).
+def init_jit_bf16(model, key, *args):
+    """Init a flax model with f32->bf16 cast FUSED into one jitted program:
+    each param's f32 RNG output feeds its convert and is freed inside the
+    program, so peak HBM is ~the bf16 tree instead of f32 + bf16 (the
+    eager init-then-cast form peaked at both trees live)."""
+    def f(k):
+        p = model.init(k, *args)
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            p)
 
-    bf16=True casts each non-VAE tree to bfloat16 IMMEDIATELY after its
-    init (the production weight dtype; the reference ships fp16 under
-    16-mixed autocast, config.yaml:8,287): the full-width f32 trees
-    together are ~19 GB and cannot co-reside on a 16 GB chip.  The VAE
-    stays f32 (disable_first_stage_autocast, config.yaml:310)."""
-    import dataclasses
+    return jax.jit(f)(key)
 
+
+def stage1_param_factory(cfg: PipelineConfig, key: jax.Array,
+                         models: StreamingModels, bf16: bool = False) -> dict:
+    """Per-field init thunks for the stage-1 param trees.  Calling a thunk
+    (re)materializes that tree ON DEVICE from the fixed `key` split —
+    bitwise-identical every call (same compiled init program, same seed).
+    This is what makes dropped-params residency possible
+    (utils/residency.py): offload frees HBM without a download and
+    restore costs device compute instead of a multi-GB host upload."""
     k = jax.random.split(key, 8)
-    unet = VideoUNet(cfg.unet)
-    # first chunk = plain SVD-XT: no CAM fusion and no APM
-    svd_cfg = dataclasses.replace(cfg.unet, controlnet_mode=False, use_apm=False)
-    svd_unet = VideoUNet(svd_cfg)
-    controlnet = ControlNet(cfg.unet, cfg.controlnet)
-    vae = AutoencoderKL(cfg.vae)
-    if clip_cfg is None:
-        clip_cfg = CLIPVisionConfig() if cfg.conditioner.use_clip else CLIPVisionConfig.tiny()
-    conditioner = Conditioner(cfg.conditioner, cfg.vae, clip_cfg)
+    unet, svd_unet = models.unet, models.svd_unet
+    controlnet, vae, conditioner = models.controlnet, models.vae, models.conditioner
 
     t = 2  # init-time frame count (params are shape-independent)
     f = cfg.vae.downsample_factor
     h, w = cfg.height // f, cfg.width // f
-    f_cond = cfg.inference.num_conditional_frames
     x = jnp.zeros((1, t, h, w, cfg.unet.in_channels))
     t_cont = jnp.zeros((1,))
     # APM needs the full 16+1-token context at init (the mixer's Conv1d
@@ -61,15 +62,6 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
     y = jnp.zeros((1, t, cfg.unet.adm_in_channels))
     pix_scale = 2 ** (len(cfg.controlnet.conditioning_embedding_out_channels) - 1)
     pix = jnp.zeros((1, t, h * pix_scale, w * pix_scale, 3))
-
-    # jit each init: eager flax init dispatches one program per op — at
-    # ~30 ms RTT on the tunneled TPU platform that is tens of minutes for
-    # the production-width trees; jitted it is seconds
-    cast = cast_params_bf16 if bf16 else (lambda t: t)
-    unet_params = cast(jax.jit(unet.init)(k[0], x, t_cont, ctx, y))
-    svd_params = cast(jax.jit(svd_unet.init)(k[1], x, t_cont, ctx[:, :, :1], y))
-    cn_params = cast(jax.jit(controlnet.init)(k[2], x, t_cont, ctx[:, :, :1], y, pix))
-    vae_params = jax.jit(vae.init)(k[3], jnp.zeros((1, 2, 32, 32, 3)))
     batch = {
         "cond_frames_without_noise": jnp.zeros((1, cfg.height, cfg.width, 3)),
         "cond_frames": jnp.zeros((1, cfg.height, cfg.width, 3)),
@@ -77,15 +69,69 @@ def build_models(cfg: PipelineConfig, key: jax.Array,
         "motion_bucket_id": jnp.zeros((1,)),
         "cond_aug": jnp.zeros((1,)),
     }
-    cond_params = cast(jax.jit(conditioner.init)(k[4], batch))
 
-    return StreamingModels(
-        unet=unet, unet_params=unet_params,
-        controlnet=controlnet, controlnet_params=cn_params,
-        svd_unet=svd_unet, svd_unet_params=svd_params,
-        vae=vae, vae_params=vae_params,
-        conditioner=conditioner, conditioner_params=cond_params,
+    # jit each init: eager flax init dispatches one program per op — at
+    # ~30 ms RTT on the tunneled TPU platform that is tens of minutes for
+    # the production-width trees; jitted it is seconds
+    def init(model, kk, *args):
+        if bf16:
+            return init_jit_bf16(model, kk, *args)
+        return jax.jit(model.init)(kk, *args)
+
+    return {
+        "unet_params": lambda: init(unet, k[0], x, t_cont, ctx, y),
+        "svd_unet_params": lambda: init(svd_unet, k[1], x, t_cont,
+                                        ctx[:, :, :1], y),
+        "controlnet_params": lambda: init(controlnet, k[2], x, t_cont,
+                                          ctx[:, :, :1], y, pix),
+        "vae_params": lambda: jax.jit(vae.init)(
+            k[3], jnp.zeros((1, 2, 32, 32, 3))),  # VAE stays f32
+        "conditioner_params": lambda: init(conditioner, k[4], batch),
+    }
+
+
+def build_models(cfg: PipelineConfig, key: jax.Array,
+                 clip_cfg: Optional[CLIPVisionConfig] = None,
+                 bf16: bool = False, init: bool = True) -> StreamingModels:
+    """Construct (and by default randomly initialize) all stage-1 modules.
+    Checkpoint loading replaces the param pytrees afterwards
+    (utils/checkpoint.py).
+
+    bf16=True initializes each non-VAE tree directly in bfloat16 (the
+    production weight dtype; the reference ships fp16 under 16-mixed
+    autocast, config.yaml:8,287): the full-width f32 trees together are
+    ~19 GB and cannot co-reside on a 16 GB chip.  The VAE stays f32
+    (disable_first_stage_autocast, config.yaml:310).
+
+    init=False returns the models with DROPPED param fields (lazy); pair
+    with `stage1_param_factory` + `Stage1Pipeline.set_param_factory` so
+    each tree materializes on first use."""
+    import dataclasses
+
+    from streamingt2v_tpu.utils.residency import DROPPED
+
+    unet = VideoUNet(cfg.unet)
+    # first chunk = plain SVD-XT: no CAM fusion and no APM
+    svd_cfg = dataclasses.replace(cfg.unet, controlnet_mode=False, use_apm=False)
+    svd_unet = VideoUNet(svd_cfg)
+    controlnet = ControlNet(cfg.unet, cfg.controlnet)
+    vae = AutoencoderKL(cfg.vae)
+    if clip_cfg is None:
+        clip_cfg = CLIPVisionConfig() if cfg.conditioner.use_clip else CLIPVisionConfig.tiny()
+    conditioner = Conditioner(cfg.conditioner, cfg.vae, clip_cfg)
+
+    models = StreamingModels(
+        unet=unet, unet_params=DROPPED,
+        controlnet=controlnet, controlnet_params=DROPPED,
+        svd_unet=svd_unet, svd_unet_params=DROPPED,
+        vae=vae, vae_params=DROPPED,
+        conditioner=conditioner, conditioner_params=DROPPED,
     )
+    if init:
+        thunks = stage1_param_factory(cfg, key, models, bf16=bf16)
+        models = dataclasses.replace(
+            models, **{f: thunk() for f, thunk in thunks.items()})
+    return models
 
 
 def shard_stage1_models(models: StreamingModels, mesh) -> StreamingModels:
@@ -109,11 +155,24 @@ def shard_stage1_models(models: StreamingModels, mesh) -> StreamingModels:
 
 def build_pipeline(cfg: PipelineConfig, seed: int = 0,
                    clip_cfg: Optional[CLIPVisionConfig] = None,
-                   mesh=None, bf16: bool = False) -> Stage1Pipeline:
-    models = build_models(cfg, jax.random.PRNGKey(seed), clip_cfg, bf16=bf16)
-    if mesh is not None and mesh.size > 1:
+                   mesh=None, bf16: bool = False,
+                   lazy: bool = False) -> Stage1Pipeline:
+    """lazy=True defers param init until first use (dropped-params
+    residency) — single-device only; sharded builds always materialize."""
+    key = jax.random.PRNGKey(seed)
+    multi = mesh is not None and mesh.size > 1
+    models = build_models(cfg, key, clip_cfg, bf16=bf16,
+                          init=(not lazy) or multi)
+    if multi:
         models = shard_stage1_models(models, mesh)
-    return Stage1Pipeline(cfg, models)
+        return Stage1Pipeline(cfg, models)
+    pipe = Stage1Pipeline(cfg, models)
+    # random-weight trees are a pure function of `key`: register the
+    # regenerating thunks so offload can drop instead of download
+    # (checkpoint loaders clear this, utils/loader.py)
+    pipe.set_param_factory(stage1_param_factory(cfg, key, models, bf16=bf16),
+                           produced_current=not lazy)
+    return pipe
 
 
 def cast_params_bf16(params):
@@ -128,12 +187,14 @@ def cast_params_bf16(params):
     )(params)
 
 
-def build_enhance_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
+def build_enhance_random(cfg: PipelineConfig, seed: int = 0, mesh=None,
+                         lazy: bool = False):
     """Stage-2 EnhancePipeline at production width with RANDOM weights —
     the no-checkpoint counterpart of utils.loader.load_enhance_pipeline,
     for product-geometry runs in environments without the published
     ali-vilab/i2vgen-xl weights (reference inference_i2v.py:136-141 always
-    downloads them; this environment has no egress)."""
+    downloads them; this environment has no egress).  lazy=True defers
+    param init until first use (dropped-params residency)."""
     import dataclasses
 
     from streamingt2v_tpu.config import VAEConfig
@@ -148,6 +209,8 @@ def build_enhance_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
     from streamingt2v_tpu.models.vae import AutoencoderKL
     from streamingt2v_tpu.pipeline.enhance import EnhanceModels, EnhancePipeline
 
+    from streamingt2v_tpu.utils.residency import DROPPED
+
     ucfg = I2VGenXLUNetConfig()
     vcfg = dataclasses.replace(VAEConfig(), temporal_decoder=False)
     unet = I2VGenXLUNet(ucfg)
@@ -157,56 +220,71 @@ def build_enhance_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
 
     k = jax.random.split(jax.random.PRNGKey(seed), 4)
     h = w = 8
-    # UNet + CLIP towers in bf16 (the reference loads the whole i2vgen
-    # pipeline fp16, i2v_enhance_interface.py:69), cast right after each
-    # init: their f32 params cost ~5.5 GB of HBM the 38-frame 720p UNet
-    # step needs.
-    u_params = cast_params_bf16(jax.jit(unet.init)(
-        k[0], jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1,)), jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1, 1024)),
-        jnp.zeros((1, 77, 1024)),
-    ))
-    v_params = jax.jit(vae.init)(k[1], jnp.zeros((1, 64, 64, 3)))
-    cv_params = cast_params_bf16(jax.jit(clip_v.init)(
-        k[2], jnp.zeros((1, 224, 224, 3))))
-    ct_params = cast_params_bf16(jax.jit(clip_t.init)(
-        k[3], jnp.zeros((1, 77), jnp.int32)))
-
+    # UNet + CLIP towers init directly in bf16 (the reference loads the
+    # whole i2vgen pipeline fp16, i2v_enhance_interface.py:69): their f32
+    # trees cost ~5.5 GB of HBM the 38-frame 720p UNet step needs.
+    # Thunks so the EnhancePipeline can drop/regenerate (residency.py).
+    thunks = {
+        "unet_params": lambda: init_jit_bf16(
+            unet, k[0], jnp.zeros((1, 2, h, w, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1,)),
+            jnp.zeros((1, 2, h, w, 4)), jnp.zeros((1, 1024)),
+            jnp.zeros((1, 77, 1024))),
+        "vae_params": lambda: jax.jit(vae.init)(
+            k[1], jnp.zeros((1, 64, 64, 3))),
+        "clip_vision_params": lambda: init_jit_bf16(
+            clip_v, k[2], jnp.zeros((1, 224, 224, 3))),
+        "text_params": lambda: init_jit_bf16(
+            clip_t, k[3], jnp.zeros((1, 77), jnp.int32)),
+    }
+    materialize = not lazy or (mesh is not None and mesh.size > 1)
+    params = ({f: thunk() for f, thunk in thunks.items()} if materialize
+              else {f: DROPPED for f in thunks})
     models = EnhanceModels(
-        unet=unet, unet_params=u_params,
-        vae=vae, vae_params=v_params,
-        clip_vision=clip_v, clip_vision_params=cv_params,
-        text_encoder=clip_t, text_params=ct_params,
+        unet=unet, unet_params=params["unet_params"],
+        vae=vae, vae_params=params["vae_params"],
+        clip_vision=clip_v, clip_vision_params=params["clip_vision_params"],
+        text_encoder=clip_t, text_params=params["text_params"],
         scheduler=DDIMScheduler(),
         tokenizer=CLIPTokenizer.synthetic(),
     )
-    return EnhancePipeline(cfg.enhance, models, mesh=mesh)
+    pipe = EnhancePipeline(cfg.enhance, models, mesh=mesh)
+    if mesh is None or mesh.size == 1:
+        pipe.set_param_factory(thunks, produced_current=materialize)
+    return pipe
 
 
 def build_product_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
     """The full 3-stage product at production width with random weights —
     what the CLI --random_weights path assembles, as one call for benches
-    and scripts.  Stages are offloaded to host as they are built: the
-    bf16 model sets total ~12 GB and cannot all sit in 16 GB of HBM while
-    the next stage initializes (the product run swaps them back in
-    stage-sequentially, pipeline/full.py + utils/residency.py)."""
+    and scripts.  All three stages are built LAZY (params dropped until
+    first use): the bf16 model sets total ~12 GB and cannot all sit in
+    16 GB of HBM, and because random trees are pure functions of the seed
+    the stage swaps regenerate on device instead of re-uploading through
+    the ~8 MB/s tunnel (pipeline/full.py + utils/residency.py)."""
     from streamingt2v_tpu.pipeline.full import StreamingT2VPipeline
 
-    stage1 = build_pipeline(cfg, seed=seed, mesh=mesh, bf16=True)
-    stage1.offload_params()
-    enhance = build_enhance_random(cfg, seed=seed, mesh=mesh)
-    enhance.offload_params()
-    interp = build_interpolate_random(cfg, seed=seed, mesh=mesh)
+    stage1 = build_pipeline(cfg, seed=seed, mesh=mesh, bf16=True, lazy=True)
+    enhance = build_enhance_random(cfg, seed=seed, mesh=mesh, lazy=True)
+    interp = build_interpolate_random(cfg, seed=seed, mesh=mesh, lazy=True)
     return StreamingT2VPipeline(cfg, stage1, enhance, interp)
 
 
-def build_interpolate_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
+def build_interpolate_random(cfg: PipelineConfig, seed: int = 0, mesh=None,
+                             lazy: bool = False):
     """Stage-3 InterpolatePipeline with RANDOM weights — the no-checkpoint
     counterpart of utils.loader.load_interpolate_pipeline."""
     from streamingt2v_tpu.models.vfi import MultiScaleFlow
     from streamingt2v_tpu.pipeline.interpolate import InterpolatePipeline
+    from streamingt2v_tpu.utils.residency import DROPPED
 
     model = MultiScaleFlow(cfg.vfi)
     img = jnp.zeros((1, 64, 64, 3))
-    params = jax.jit(model.init)(jax.random.PRNGKey(seed), img, img)
-    return InterpolatePipeline(model, params, tta=cfg.vfi.tta, mesh=mesh)
+    key = jax.random.PRNGKey(seed)
+    thunk = lambda: jax.jit(model.init)(key, img, img)  # noqa: E731
+    materialize = not lazy or (mesh is not None and mesh.size > 1)
+    params = thunk() if materialize else DROPPED
+    pipe = InterpolatePipeline(model, params, tta=cfg.vfi.tta, mesh=mesh)
+    if mesh is None or mesh.size == 1:
+        pipe.set_param_factory(thunk, produced_current=materialize)
+    return pipe

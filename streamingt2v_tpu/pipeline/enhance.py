@@ -77,15 +77,14 @@ class EnhancePipeline:
         # halves the 720p decoder's live tensors so 64-frame enhance fits
         # one 16 GB chip.  Stage 1 keeps its fp32 VAE
         # (disable_first_stage_autocast) — this cast is enhance-local.
-        if cfg.vae_bf16 and models.vae_params is not None:
-            self._vae_params = jax.jit(lambda t: jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t,
-            ))(models.vae_params)
-            self._vae_dtype = jnp.bfloat16
+        self._vae_dtype = (jnp.bfloat16 if cfg.vae_bf16
+                           and models.vae_params is not None else jnp.float32)
+        from streamingt2v_tpu.utils.residency import is_dropped
+
+        if models.vae_params is None or is_dropped(models.vae_params):
+            self._vae_params = models.vae_params  # derived on first restore
         else:
-            self._vae_params = models.vae_params
-            self._vae_dtype = jnp.float32
+            self._derive_vae_params()
         self._denoise_chunk = jax.jit(self._denoise_chunk_impl,
                                       static_argnames=("num_inference_steps",))
         # latents buffers are donated: each step consumes the previous
@@ -124,56 +123,72 @@ class EnhancePipeline:
 
     # ---------- HBM residency (utils.residency) ----------
 
+    _PARAM_FIELDS = ("unet_params", "clip_vision_params", "text_params",
+                     "vae_params")
+
+    @property
+    def _residency(self):
+        from streamingt2v_tpu.utils.residency import FieldResidency
+
+        r = getattr(self, "_residency_mgr", None)
+        if r is None:
+            r = self._residency_mgr = FieldResidency(self._PARAM_FIELDS)
+        return r
+
+    def set_param_factory(self, thunks: dict, produced_current: bool = True) -> None:
+        """`thunks`: {field: () -> tree} regenerating each of
+        _PARAM_FIELDS bitwise-identically (the bf16 `_vae_params` is
+        re-derived from `vae_params` on restore)."""
+        self._residency.set_factory(
+            thunks,
+            {f: getattr(self.m, f) for f in thunks}
+            if produced_current else None)
+
+    def _derive_vae_params(self) -> None:
+        """(Re)compute the enhance-local VAE tree from m.vae_params (bf16
+        cast when cfg.vae_bf16 — same policy as __init__).  Purely
+        derived: offload discards it, restore re-derives (a device-side
+        cast, milliseconds — never host-swapped)."""
+        if self.cfg.vae_bf16 and self.m.vae_params is not None:
+            self._vae_params = jax.jit(lambda t: jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t,
+            ))(self.m.vae_params)
+        else:
+            self._vae_params = self.m.vae_params
+
     def offload_params(self) -> None:
-        """Move all stage-2 params to host RAM (the TPU-native use_memopt;
-        see utils/residency.py).  Restored lazily by `ensure_on_device`."""
-        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
+        """Move all stage-2 params off HBM (the TPU-native use_memopt;
+        see utils/residency.py).  Restored lazily by `ensure_on_device`.
+        Factory-produced trees are dropped; others copy to host RAM
+        (cached per field)."""
+        from streamingt2v_tpu.utils.residency import DROPPED, is_dropped, tree_is_on_host
 
         m = self.m
-        if m.unet_params is None or tree_is_on_host(m.unet_params):
+        new = self._residency.offload(
+            {f: getattr(m, f) for f in self._PARAM_FIELDS})
+        for f, tree in new.items():
+            setattr(m, f, tree)
+        if not (m.vae_params is None or is_dropped(m.vae_params)
+                or tree_is_on_host(m.vae_params)):
             return
-        # host copies cached across offload cycles (params are immutable
-        # during inference; the tunneled platform downloads at ~12-23 MB/s,
-        # so repeat offloads must not re-read GBs of weights).  Keyed on
-        # the identity of the device trees (refreshed on restore) so
-        # replacing params invalidates the cache (see streaming.py note).
-        ids = (id(m.unet_params), id(m.clip_vision_params),
-               id(m.text_params), id(m.vae_params), id(self._vae_params))
-        host = getattr(self, "_host_params", None)
-        if host is None or getattr(self, "_host_src_ids", None) != ids:
-            shared_vae = self._vae_params is m.vae_params
-            host = {
-                "unet_params": tree_to_host(m.unet_params),
-                "clip_vision_params": tree_to_host(m.clip_vision_params),
-                "text_params": tree_to_host(m.text_params),
-                "vae_params": tree_to_host(m.vae_params),
-            }
-            host["_vae_params"] = (host["vae_params"] if shared_vae
-                                   else tree_to_host(self._vae_params))
-            self._host_params = host
-            self._host_src_ids = ids
-        m.unet_params = host["unet_params"]
-        m.clip_vision_params = host["clip_vision_params"]
-        m.text_params = host["text_params"]
-        m.vae_params = host["vae_params"]
-        self._vae_params = host["_vae_params"]
+        # the derived bf16 VAE tree is recomputed on restore
+        self._vae_params = (DROPPED if is_dropped(m.vae_params)
+                            else m.vae_params)
 
     def ensure_on_device(self) -> None:
-        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device
+        from streamingt2v_tpu.utils.residency import is_dropped, tree_is_on_host
 
         m = self.m
-        if m.unet_params is None or not tree_is_on_host(m.unet_params):
-            return
-        shared_vae = self._vae_params is m.vae_params
-        m.unet_params = tree_on_device(m.unet_params)
-        m.clip_vision_params = tree_on_device(m.clip_vision_params)
-        m.text_params = tree_on_device(m.text_params)
-        m.vae_params = tree_on_device(m.vae_params)
-        self._vae_params = (m.vae_params if shared_vae
-                            else tree_on_device(self._vae_params))
-        self._host_src_ids = (id(m.unet_params), id(m.clip_vision_params),
-                              id(m.text_params), id(m.vae_params),
-                              id(self._vae_params))
+        vae_was_off = (m.vae_params is not None
+                       and (is_dropped(m.vae_params)
+                            or tree_is_on_host(m.vae_params)))
+        new = self._residency.restore(
+            {f: getattr(m, f) for f in self._PARAM_FIELDS})
+        for f, tree in new.items():
+            setattr(m, f, tree)
+        if vae_was_off:
+            self._derive_vae_params()
 
     # ---------- conditioning ----------
 

@@ -88,10 +88,6 @@ class StreamingT2VPipeline:
         # OOM degradation ladder: retry with halved VAE decode chunks
         # (the TPU counterpart of the reference's static use_memopt flag,
         # inference_i2v.py:143-145) instead of dying on the first OOM.
-        pipes = [self.stage1] + [
-            self.stage1.with_decode_chunk(c)
-            for c in decode_chunk_ladder(cfg.inference.decode_chunk_size // 2)
-        ]
         def run_synced(p):
             v = p.image_to_video(x, cfg.stage1_frames, seed)
             # force execution inside the ladder: only host reads
@@ -100,9 +96,15 @@ class StreamingT2VPipeline:
             np.asarray(v[-1, 0, 0, 0])
             return v
 
+        # ladder pipes are built lazily INSIDE each fallback thunk: an
+        # upfront list would pin the original StreamingModels (and the
+        # HBM the run frees via drop_field/offload) for the whole attempt
         with stage_timer("stage1_i2v"):
             video = with_oom_fallback(
-                *[(lambda p=p: run_synced(p)) for p in pipes]
+                lambda: run_synced(self.stage1),
+                *[(lambda c=c: run_synced(self.stage1.with_decode_chunk(c)))
+                  for c in decode_chunk_ladder(
+                      cfg.inference.decode_chunk_size // 2)]
             )
             self.stage_finite["stage1"] = bool(jnp.isfinite(video).all())
             # uint8 conversion on device + chunked readback: the tunneled

@@ -44,27 +44,31 @@ class InterpolatePipeline:
 
         self._run = jax.jit(run)
 
-    def offload_params(self) -> None:
-        """Params to host RAM (TPU-native use_memopt, utils/residency.py)."""
-        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
+    # regenerable params — see streaming.py / utils/residency.py
 
-        if not tree_is_on_host(self.params):
-            # host copy cached across offload cycles (see streaming.py
-            # note); keyed on the device tree's identity so replacing
-            # params invalidates the cache instead of silently reverting
-            host = getattr(self, "_host_params", None)
-            if host is None or getattr(self, "_host_src_id", None) != id(self.params):
-                host = tree_to_host(self.params)
-                self._host_params = host
-                self._host_src_id = id(self.params)
-            self.params = host
+    @property
+    def _residency(self):
+        from streamingt2v_tpu.utils.residency import FieldResidency
+
+        r = getattr(self, "_residency_mgr", None)
+        if r is None:
+            r = self._residency_mgr = FieldResidency(("params",))
+        return r
+
+    def set_param_factory(self, thunk, produced_current: bool = True) -> None:
+        """`thunk`: () -> params, regenerating the tree bitwise-identically."""
+        self._residency.set_factory(
+            {"params": thunk},
+            {"params": self.params} if produced_current else None)
+
+    def offload_params(self) -> None:
+        """Params off HBM (TPU-native use_memopt, utils/residency.py):
+        factory-produced trees are dropped, others copy to host RAM
+        (cached per field)."""
+        self.params = self._residency.offload({"params": self.params})["params"]
 
     def ensure_on_device(self) -> None:
-        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device
-
-        if tree_is_on_host(self.params):
-            self.params = tree_on_device(self.params)
-            self._host_src_id = id(self.params)
+        self.params = self._residency.restore({"params": self.params})["params"]
 
     def interpolate_video(self, video: jax.Array, target_len: Optional[int] = None) -> jax.Array:
         """video: (F, H, W, 3) in [0,1] -> (target_len, H, W, 3) in [0,1].

@@ -159,41 +159,53 @@ class Stage1Pipeline:
     _PARAM_FIELDS = ("unet_params", "controlnet_params", "svd_unet_params",
                      "vae_params", "conditioner_params")
 
-    def offload_params(self) -> None:
-        """Move all model params to host RAM, freeing HBM for another
-        stage; restored lazily by `ensure_on_device` (the TPU-native
-        use_memopt — see utils/residency.py)."""
-        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_to_host
+    # Regenerable params (utils/residency.py): when the trees are a pure
+    # function of the build seed (random-weight product/bench runs), the
+    # builder registers per-field init thunks here.  Offload then DROPS
+    # the device references (frees HBM with no download) and restore
+    # re-runs the compiled init programs (seconds) instead of uploading
+    # multi-GB trees through the ~8 MB/s tunnel.  Per-field bookkeeping
+    # lives in utils.residency.FieldResidency so mixed states (one tree
+    # checkpoint-replaced, the rest regenerable) stay correct.
 
-        if tree_is_on_host(self.models.unet_params):
-            return
-        # host copy cached across offload cycles: inference params never
-        # change, and the tunneled platform reads back at ~12-23 MB/s —
-        # re-downloading GBs of weights on every stage switch would cost
-        # minutes.  Repeat offloads just drop the device references.  The
-        # cache is keyed on the identity of the device trees it was built
-        # from (refreshed on restore) so replacing params (checkpoint
-        # load, bf16 cast) invalidates it instead of silently reverting.
-        ids = tuple(id(getattr(self.models, f)) for f in self._PARAM_FIELDS)
-        host = getattr(self, "_host_params", None)
-        if host is None or getattr(self, "_host_src_ids", None) != ids:
-            host = {f: tree_to_host(getattr(self.models, f))
-                    for f in self._PARAM_FIELDS}
-            self._host_params = host
-            self._host_src_ids = ids
-        self.models = dataclasses.replace(self.models, **host)
+    @property
+    def _residency(self):
+        from streamingt2v_tpu.utils.residency import FieldResidency
+
+        r = getattr(self, "_residency_mgr", None)
+        if r is None:
+            r = self._residency_mgr = FieldResidency(self._PARAM_FIELDS)
+        return r
+
+    def set_param_factory(self, thunks: dict, produced_current: bool = True) -> None:
+        """`thunks`: {field: () -> tree} regenerating each param tree
+        bitwise-identically.  produced_current=True asserts the CURRENT
+        trees came from these thunks (so offload may drop them).
+        Checkpoint loaders must clear the factory (utils/loader.py)."""
+        self._residency.set_factory(
+            thunks,
+            {f: getattr(self.models, f) for f in thunks}
+            if produced_current else None)
+
+    def offload_params(self) -> None:
+        """Move all model params off HBM, freeing it for another stage;
+        restored lazily by `ensure_on_device` (the TPU-native use_memopt —
+        see utils/residency.py).  Factory-produced trees are dropped;
+        anything else is copied to host RAM (cached per field, so repeat
+        offloads never re-download through the ~12-23 MB/s tunnel)."""
+        self.models = dataclasses.replace(self.models, **self._residency.offload(
+            {f: getattr(self.models, f) for f in self._PARAM_FIELDS}))
+
+    def drop_field(self, field: str) -> None:
+        """Drop ONE regenerable tree mid-stage (e.g. the first-chunk
+        SVD-XT UNet once the AR loop starts — ~3 GB of bf16 HBM the rest
+        of stage 1 never touches).  No-op for non-factory trees."""
+        self.models = dataclasses.replace(self.models, **{
+            field: self._residency.drop(field, getattr(self.models, field))})
 
     def ensure_on_device(self) -> None:
-        from streamingt2v_tpu.utils.residency import tree_is_on_host, tree_on_device
-
-        if not tree_is_on_host(self.models.unet_params):
-            return
-        self.models = dataclasses.replace(
-            self.models,
-            **{f: tree_on_device(getattr(self.models, f))
-               for f in self._PARAM_FIELDS})
-        self._host_src_ids = tuple(
-            id(getattr(self.models, f)) for f in self._PARAM_FIELDS)
+        self.models = dataclasses.replace(self.models, **self._residency.restore(
+            {f: getattr(self.models, f) for f in self._PARAM_FIELDS}))
 
     # ---------- degradation (utils.resilience OOM ladder) ----------
 
@@ -206,7 +218,11 @@ class Stage1Pipeline:
                 self.cfg.inference, decode_chunk_size=decode_chunk_size
             ),
         )
-        return Stage1Pipeline(cfg, self.models)
+        pipe = Stage1Pipeline(cfg, self.models)
+        # share the residency manager (models are shared, so the
+        # factory-identity and host-cache bookkeeping transfer verbatim)
+        pipe._residency_mgr = self._residency
+        return pipe
 
     # ---------- public API ----------
 
@@ -230,6 +246,10 @@ class Stage1Pipeline:
             generation_key(seed, 0, inf.reset_seed_per_generation),
         )
         chunks: List[jax.Array] = [chunk0]
+        # the SVD-XT tree (~3 GB bf16) is dead weight for the rest of the
+        # stage — drop it if regenerable (the runtime keeps the buffers
+        # alive until the in-flight chunk0 program completes)
+        self.drop_field("svd_unet_params")
         anchor = chunk0[:, inf.anchor_frames]  # frame 6 of chunk 0, fixed
         use_apm = cfg.unet.use_apm
         for g in range(n_gen):

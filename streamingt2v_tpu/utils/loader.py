@@ -105,6 +105,11 @@ def _replace_models(stage1, models):
 
     out = copy.copy(stage1)
     out.models = models
+    # checkpoint-loaded trees are NOT regenerable from the build seed:
+    # give the copy a FRESH residency manager (no factory) so offload can
+    # never drop real weights — and never mutate the shared manager of
+    # the pipeline we were copied from (pipeline/streaming.py _residency)
+    out._residency_mgr = None
     return out
 
 
