@@ -168,8 +168,12 @@ def stage1_lowered():
 
     cond = {"concat": cc, "crossattn": ctx, "vector": y, "ctrl_frames": pix}
     mesh = topo_mesh()
+    # bind the topology devices via a (replicated) sharding: the mesh
+    # context alone does not set the lowering platform, and without it
+    # the Pallas calls lower for the host CPU and fail
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     with mesh:
-        return jax.jit(step).lower(u_tmpl, c_tmpl, x, cond)
+        return jax.jit(step, in_shardings=repl).lower(u_tmpl, c_tmpl, x, cond)
 
 
 def stage2_lowered():
@@ -200,8 +204,10 @@ def stage2_lowered():
         return unet.apply(params, sample, t, fps, il, emb, ctx)
 
     mesh = topo_mesh()
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     with mesh:
-        return jax.jit(fwd).lower(tmpl, sample, t, fps, il, emb, ctx)
+        return jax.jit(fwd, in_shardings=repl).lower(
+            tmpl, sample, t, fps, il, emb, ctx)
 
 
 def main() -> None:

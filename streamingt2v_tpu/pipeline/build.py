@@ -262,8 +262,19 @@ def build_product_random(cfg: PipelineConfig, seed: int = 0, mesh=None):
     16 GB of HBM, and because random trees are pure functions of the seed
     the stage swaps regenerate on device instead of re-uploading through
     the ~8 MB/s tunnel (pipeline/full.py + utils/residency.py)."""
+    import dataclasses
+
     from streamingt2v_tpu.pipeline.full import StreamingT2VPipeline
 
+    if mesh is None or mesh.size == 1:
+        # single-chip = the reference's use_memopt regime: its stage-1
+        # decode chunk drops 8 -> 4 (streaming_svd.py:127,389).  The
+        # measured full-width decode program plans 9.3 GiB of temps at
+        # cs=8 vs 4.8 at cs=4 — with ~7 GiB of stage-1 trees resident
+        # only cs<=4 fits 15.75 GiB, and starting there skips a known-
+        # OOM ladder rung (~3 min of failing compile per process).
+        cfg = dataclasses.replace(cfg, inference=dataclasses.replace(
+            cfg.inference, decode_chunk_size=4))
     stage1 = build_pipeline(cfg, seed=seed, mesh=mesh, bf16=True, lazy=True)
     enhance = build_enhance_random(cfg, seed=seed, mesh=mesh, lazy=True)
     interp = build_interpolate_random(cfg, seed=seed, mesh=mesh, lazy=True)

@@ -66,12 +66,19 @@ class StreamingT2VPipeline:
         """Offload every stage except `active` (no-op unless offloading)."""
         if not self._offload_active():
             return
-        for name, stage in (("stage1", self.stage1), ("enhance", self.enhance),
-                            ("interpolate", self.interpolate)):
-            if stage is None:
+        # a degraded stage-1 ladder rung (image_to_video) holds its own
+        # models reference — offload it alongside the primary pipe
+        rung = getattr(self, "_stage1_active", None)
+        stage1_pipes = [self.stage1] + ([rung] if rung is not None
+                                        and rung is not self.stage1 else [])
+        for name, stages in (("stage1", stage1_pipes),
+                             ("enhance", [self.enhance]),
+                             ("interpolate", [self.interpolate])):
+            if name == active:
                 continue
-            if name != active:
-                stage.offload_params()
+            for stage in stages:
+                if stage is not None:
+                    stage.offload_params()
         # the active stage restores lazily via its own ensure_on_device()
 
     def image_to_video(self, image_u8: np.ndarray, seed: Optional[int] = None) -> np.ndarray:
@@ -94,14 +101,19 @@ class StreamingT2VPipeline:
             # synchronize on this platform, and without one the async OOM
             # would surface at the caller's np.asarray, past the ladder
             np.asarray(v[-1, 0, 0, 0])
+            self._stage1_active = p  # remember the rung that fits
             return v
 
         # ladder pipes are built lazily INSIDE each fallback thunk: an
         # upfront list would pin the original StreamingModels (and the
-        # HBM the run frees via drop_field/offload) for the whole attempt
+        # HBM the run frees via drop_field/offload) for the whole attempt.
+        # The winning rung is cached so later passes (and determinism
+        # reruns, which must reuse the SAME decode chunking — it changes
+        # temporal-conv windows) skip the failing compiles.
+        active = getattr(self, "_stage1_active", None) or self.stage1
         with stage_timer("stage1_i2v"):
             video = with_oom_fallback(
-                lambda: run_synced(self.stage1),
+                lambda: run_synced(active),
                 *[(lambda c=c: run_synced(self.stage1.with_decode_chunk(c)))
                   for c in decode_chunk_ladder(
                       cfg.inference.decode_chunk_size // 2)]

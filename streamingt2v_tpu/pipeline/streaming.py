@@ -62,6 +62,14 @@ class Stage1Pipeline:
         self.models = models
         self._first_chunk_fn = jax.jit(self._first_chunk_impl)
         self._stream_chunk_fn = jax.jit(self._stream_chunk_impl)
+        # VAE decode is a SEPARATE program from the samplers: fused into
+        # the 30-step chunk program, XLA schedules the unrolled decode
+        # chunks' 576x1024 f32 temps concurrently with sampler state and
+        # the full-width program plans ~29.5 GB of HBM (compile-time OOM
+        # on the 16 GB chip).  As its own per-chunk program the peak is
+        # one decode chunk (reference decode_first_stage chunking,
+        # streaming_svd.py:205-213).
+        self._decode_chunk_fn = jax.jit(self._decode_chunk_impl)
 
     # ---------- conditioning ----------
 
@@ -98,21 +106,22 @@ class Stage1Pipeline:
         f = cfg.vae.downsample_factor
         return (1, num_frames, cfg.height // f, cfg.width // f, cfg.unet.out_channels)
 
-    def _first_chunk_impl(self, svd_params, vae_params, cond_params, image, key):
-        """image: (1, H, W, 3) in [-1,1] -> (1, T, H, W, 3) in [-1,1]."""
+    def _first_chunk_impl(self, svd_params, cond_params, image, key):
+        """image: (1, H, W, 3) in [-1,1] -> latents (1, T, h, w, 4)."""
         m = self.models
         num_frames = self.cfg.inference.chunk_frames
         k_cond, k_sample = jax.random.split(key)
         c, uc = self._conditioning_with(cond_params, image, k_cond, num_frames)
         net = openai_wrapper(m.svd_unet, svd_params)
-        z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample,
-                                 sampler_cfg=self.cfg.first_chunk_sampler)
-        return self._decode_with(vae_params, z)
+        return self._sample_latents(net, self._latent_shape(num_frames), c, uc,
+                                    k_sample,
+                                    sampler_cfg=self.cfg.first_chunk_sampler)
 
-    def _stream_chunk_impl(self, unet_params, cn_params, vae_params, cond_params,
+    def _stream_chunk_impl(self, unet_params, cn_params, cond_params,
                            anchor_frame, ctrl_frames, key, apm_frames=None):
         """anchor_frame: (1, H, W, 3); ctrl_frames: (1, F_cond, H, W, 3);
-        apm_frames: (1, 16, H, W, 3) appearance anchor frames (use_apm)."""
+        apm_frames: (1, 16, H, W, 3) appearance anchor frames (use_apm).
+        -> latents (1, T, h, w, 4)."""
         m = self.models
         num_frames = self.cfg.inference.chunk_frames
         f_cond = self.cfg.inference.num_conditional_frames
@@ -124,8 +133,8 @@ class Stage1Pipeline:
         uc["ctrl_frames"] = ctrl_frames
         net = streaming_wrapper(m.unet, unet_params, m.controlnet, cn_params, f_cond,
                                 ctrl_cfg_shared=True)
-        z = self._sample_latents(net, self._latent_shape(num_frames), c, uc, k_sample)
-        return self._decode_with(vae_params, z)
+        return self._sample_latents(net, self._latent_shape(num_frames), c, uc,
+                                    k_sample)
 
     def _conditioning_with(self, cond_params, anchor_frame, key, num_frames,
                            apm_frames=None):
@@ -144,15 +153,22 @@ class Stage1Pipeline:
                 [uc["crossattn"], jnp.zeros_like(tokens)], axis=1)
         return broadcast_cond(c, num_frames), broadcast_cond(uc, num_frames)
 
-    def _decode_with(self, vae_params, z):
-        m = self.models
+    def _decode_chunk_impl(self, vae_params, z):
+        """One decode-chunk program: z (1, <=cs, h, w, 4) -> video frames."""
+        out = self.models.vae.apply(vae_params, z, method=AutoencoderKL.decode)
+        return jnp.clip(out, -1.0, 1.0)
+
+    def _decode_video(self, vae_params, z):
+        """Chunked temporal-VAE decode, one compiled program per DISTINCT
+        chunk length (at most two: cs and the remainder).  Chunks run as
+        separate dispatches so only one chunk's 576x1024 decoder temps are
+        ever planned at once."""
         t = z.shape[1]
         cs = self.cfg.inference.decode_chunk_size
         outs = []
         for start in range(0, t, cs):
-            outs.append(m.vae.apply(vae_params, z[:, start:start + cs],
-                                    method=AutoencoderKL.decode))
-        return jnp.clip(jnp.concatenate(outs, axis=1), -1.0, 1.0)
+            outs.append(self._decode_chunk_fn(vae_params, z[:, start:start + cs]))
+        return jnp.concatenate(outs, axis=1)
 
     # ---------- HBM residency (utils.residency) ----------
 
@@ -241,10 +257,11 @@ class Stage1Pipeline:
         n_gen = cfg.n_autoregressions(target)
 
         image = image[None]  # batch of 1
-        chunk0 = self._first_chunk_fn(
-            m.svd_unet_params, m.vae_params, m.conditioner_params, image,
+        z0 = self._first_chunk_fn(
+            m.svd_unet_params, m.conditioner_params, image,
             generation_key(seed, 0, inf.reset_seed_per_generation),
         )
+        chunk0 = self._decode_video(m.vae_params, z0)
         chunks: List[jax.Array] = [chunk0]
         # the SVD-XT tree (~3 GB bf16) is dead weight for the rest of the
         # stage — drop it if regenerable (the runtime keeps the buffers
@@ -274,15 +291,16 @@ class Stage1Pipeline:
                     ci = int(np.searchsorted(starts, gi, side="right")) - 1
                     frames.append(chunks[ci][:, gi - int(starts[ci])])
                 apm_frames = jnp.stack(frames, axis=1)
-                result = self._stream_chunk_fn(
-                    m.unet_params, m.controlnet_params, m.vae_params,
+                z = self._stream_chunk_fn(
+                    m.unet_params, m.controlnet_params,
                     m.conditioner_params, anchor, ctrl, key, apm_frames,
                 )
             else:
-                result = self._stream_chunk_fn(
-                    m.unet_params, m.controlnet_params, m.vae_params,
+                z = self._stream_chunk_fn(
+                    m.unet_params, m.controlnet_params,
                     m.conditioner_params, anchor, ctrl, key,
                 )
+            result = self._decode_video(m.vae_params, z)
             chunks.append(result[:, inf.num_conditional_frames:])
         video = jnp.concatenate(chunks, axis=1)[0]
         return video[:target]

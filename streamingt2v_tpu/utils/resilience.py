@@ -132,13 +132,22 @@ def fetch_file(
 # ---------------------------------------------------------------------------
 
 def is_oom(exc: BaseException) -> bool:
-    """True when `exc` is an XLA out-of-memory failure (any platform)."""
+    """True when `exc` is an XLA out-of-memory failure (any platform).
+
+    On the tunneled TPU platform a compile-time HBM overflow surfaces as
+    a generic INTERNAL remote_compile HTTP 500 (the "Ran out of memory in
+    memory space hbm" detail stays in the compile helper's log), so that
+    shape is treated as degradable too: a ladder rung that fails for a
+    non-OOM compile reason fails identically on every rung and the final
+    error still propagates."""
     import re
 
     msg = str(exc).upper()
     return (
         "RESOURCE_EXHAUSTED" in msg
         or "OUT OF MEMORY" in msg
+        or "RAN OUT OF MEMORY" in msg
+        or ("REMOTE_COMPILE" in msg and "HTTP 500" in msg)
         or re.search(r"\bOOM\b", msg) is not None
     )
 
