@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from streamingt2v_tpu.ops.flash_attention import flash_attention
+from streamingt2v_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_blhd,
+)
 
 # Below this many score-matrix elements per (batch*head), materializing
 # the (Lq, Lk) scores is cheaper than a kernel launch.
@@ -237,10 +240,6 @@ def attention(
 
     from streamingt2v_tpu.parallel.sharding import get_active_mesh, shard
 
-    qh = q.reshape(b, lq, num_heads, d).transpose(0, 2, 1, 3)
-    kh = k.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
-
     if backend is None and _FORCED_BACKEND:
         backend = _FORCED_BACKEND
     if backend is None:
@@ -249,6 +248,22 @@ def attention(
         use_flash = backend == "flash"
 
     mesh = get_active_mesh()
+    # Single-device flash: the 4D (B, L, H, D) kernel reads heads via
+    # strided BlockSpec windows, so the (B,L,H,D)->(B,H,L,D) transpose
+    # copies (4 HBM round-trips of q/k/v/o per call; ~21 GB/step in the
+    # stage-1 copy budget, docs/PERF.md round 5) never materialize.
+    # Multi-device paths (ring / shard_map) still take the folded 3D form.
+    if (use_flash and (mesh is None or mesh.size <= 1)
+            and os.environ.get("STREAMINGT2V_FLASH_BLHD", "0") == "1"):
+        q4 = q.reshape(b, lq, num_heads, d)
+        k4 = k.reshape(b, lk, num_heads, d)
+        v4 = v.reshape(b, lk, num_heads, d)
+        return flash_attention_blhd(q4, k4, v4).reshape(b, lq, hd)
+
+    qh = q.reshape(b, lq, num_heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)
+
     if use_flash:
         qf = qh.reshape(b * num_heads, lq, d)
         kf = kh.reshape(b * num_heads, lk, d)

@@ -44,14 +44,21 @@ def _kernel(x_ref, ghot_ref, scale_ref, bias_ref, o_ref, s1_scr, s2_scr, *,
         x = jnp.where(row < l_valid, x, 0.0)
     ghot = ghot_ref[:]  # (C, G)
 
+    # HIGHEST precision: the MXU's DEFAULT f32 path truncates inputs to
+    # bf16 (measured 1.7e-2 stat error on hardware, caught by
+    # test_fused_group_norm_exact_on_real_tpu); with the one-hot group
+    # matrix the HIGHEST products are exact selections.
+    hi = jax.lax.Precision.HIGHEST
+
     @pl.when(p == 0)
     def _accumulate():
         s1_scr[:] += jnp.sum(
-            jnp.dot(x, ghot, preferred_element_type=jnp.float32), axis=0, keepdims=True
+            jnp.dot(x, ghot, preferred_element_type=jnp.float32, precision=hi),
+            axis=0, keepdims=True,
         )
         s2_scr[:] += jnp.sum(
-            jnp.dot(x * x, ghot, preferred_element_type=jnp.float32), axis=0,
-            keepdims=True,
+            jnp.dot(x * x, ghot, preferred_element_type=jnp.float32, precision=hi),
+            axis=0, keepdims=True,
         )
 
     @pl.when(p == 1)
@@ -59,8 +66,10 @@ def _kernel(x_ref, ghot_ref, scale_ref, bias_ref, o_ref, s1_scr, s2_scr, *,
         mean_g = s1_scr[:] / elems_per_group
         var_g = s2_scr[:] / elems_per_group - mean_g * mean_g
         inv_g = jax.lax.rsqrt(var_g + eps)
-        mean_c = jnp.dot(mean_g, ghot.T, preferred_element_type=jnp.float32)
-        inv_c = jnp.dot(inv_g, ghot.T, preferred_element_type=jnp.float32)
+        mean_c = jnp.dot(mean_g, ghot.T, preferred_element_type=jnp.float32,
+                         precision=hi)
+        inv_c = jnp.dot(inv_g, ghot.T, preferred_element_type=jnp.float32,
+                        precision=hi)
         out = (x - mean_c) * inv_c * scale_ref[:] + bias_ref[:]
         if act == "silu":
             out = out * jax.nn.sigmoid(out)

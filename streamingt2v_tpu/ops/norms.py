@@ -44,9 +44,15 @@ def _group_stats_bf16(xs: jax.Array, c: int, num_groups: int):
         jnp.arange(c)[:, None] // (c // num_groups),
         jnp.arange(num_groups)[None, :],
     ).astype(xs.dtype)
-    s1 = jnp.einsum("nlc,cg->ng", xs, ghot, preferred_element_type=jnp.float32)
+    # bf16 inputs accumulate exactly on the MXU; f32 inputs need HIGHEST
+    # or the MXU's DEFAULT f32 path truncates them to bf16 (measured
+    # 1.7e-2 stat error on v5e — see ops/fused_group_norm.py).
+    prec = (jax.lax.Precision.HIGHEST if xs.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s1 = jnp.einsum("nlc,cg->ng", xs, ghot, preferred_element_type=jnp.float32,
+                    precision=prec)
     s2 = jnp.einsum("nlc,cg->ng", xs * xs, ghot,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
     mean_g = s1 / cnt
     m2 = mean_g * mean_g
     var_fast = jnp.maximum(s2 / cnt - m2, 0.0)
@@ -63,7 +69,7 @@ def _group_stats_bf16(xs: jax.Array, c: int, num_groups: int):
         mc = jnp.repeat(mean_g, rep, axis=1)[:, None, :].astype(xs.dtype)
         d = xs - mc
         sd = jnp.einsum("nlc,cg->ng", d * d, ghot,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=prec)
         return jnp.maximum(sd / cnt, 0.0)
 
     var_g = jax.lax.cond(suspicious, _robust, lambda _: var_fast, None)

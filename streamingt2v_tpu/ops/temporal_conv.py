@@ -133,7 +133,8 @@ def _tc_reference(x, w, b, res, res_w, pre_a, pre_b):
         h = h * jax.nn.sigmoid(h)
     hp = jnp.pad(h, ((0, 0), (lo, kt - 1 - lo), (0, 0), (0, 0)))
     out = sum(
-        jnp.einsum("btsc,cd->btsd", hp[:, k:k + t], w[k].astype(jnp.float32))
+        jnp.einsum("btsc,cd->btsd", hp[:, k:k + t], w[k].astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
         for k in range(kt)
     ) + b.astype(jnp.float32)
     if res is not None:
