@@ -27,6 +27,7 @@ util.py:312-370) — opposite of the VAE VideoResBlock orientation.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -90,7 +91,9 @@ class FeedForward(nn.Module):
         n_rows = 1
         for d in x.shape[:-1]:
             n_rows *= d
-        if jax.default_backend() == "tpu" and n_rows >= 256 and inner % 128 == 0:
+        if (jax.default_backend() == "tpu" and n_rows >= 256
+                and inner % 128 == 0
+                and os.environ.get("STREAMINGT2V_NO_PALLAS") != "1"):
             from streamingt2v_tpu.ops.fused_ff import geglu_ff
 
             return geglu_ff(
@@ -426,6 +429,7 @@ def _time_conv(h, kernel, out_channels: int, name: str,
         jax.default_backend() == "tpu"
         and kh == 1 and kw == 1 and kt % 2 == 1
         and hh * ww >= 64
+        and os.environ.get("STREAMINGT2V_NO_PALLAS") != "1"
     )
     if use_pallas:
         from streamingt2v_tpu.ops.temporal_conv import (

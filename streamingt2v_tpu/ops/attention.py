@@ -22,7 +22,8 @@ from jax.sharding import PartitionSpec as P
 
 from streamingt2v_tpu.ops.flash_attention import (
     flash_attention,
-    flash_attention_blhd,
+    flash_attention_packed,
+    packed_applicable,
 )
 
 # Below this many score-matrix elements per (batch*head), materializing
@@ -49,6 +50,10 @@ def _use_flash(bh: int, lq: int, lk: int) -> bool:
 
 # Global override for experiments/benchmarks: "flash" | "xla" | "" (auto)
 _FORCED_BACKEND = os.environ.get("STREAMINGT2V_ATTN_BACKEND", "")
+# Global Pallas escape hatch (debug/bisection: routes attention, the
+# GEGLU-FF, and the temporal conv to their XLA paths)
+if os.environ.get("STREAMINGT2V_NO_PALLAS") == "1" and not _FORCED_BACKEND:
+    _FORCED_BACKEND = "xla"
 
 # Ring (blockwise-KV) attention for seq-sharded self-attention
 # (parallel/ring_attention.py): KV shards rotate over the seq axis instead
@@ -248,17 +253,16 @@ def attention(
         use_flash = backend == "flash"
 
     mesh = get_active_mesh()
-    # Single-device flash: the 4D (B, L, H, D) kernel reads heads via
-    # strided BlockSpec windows, so the (B,L,H,D)->(B,H,L,D) transpose
-    # copies (4 HBM round-trips of q/k/v/o per call; ~21 GB/step in the
-    # stage-1 copy budget, docs/PERF.md round 5) never materialize.
-    # Multi-device paths (ring / shard_map) still take the folded 3D form.
+    # Single-device flash: the head-packed kernel consumes (B, L, H*D)
+    # directly (heads = static in-kernel lane slices), so the
+    # (B,L,H*D) -> (B*H,L,D) fold/unfold transposes (4 HBM round-trips of
+    # q/k/v/o per call; ~21 GB/step in the stage-1 copy budget,
+    # docs/PERF.md round 5) never materialize.  Multi-device paths
+    # (ring / shard_map) still take the folded 3D form.
     if (use_flash and (mesh is None or mesh.size <= 1)
-            and os.environ.get("STREAMINGT2V_FLASH_BLHD", "0") == "1"):
-        q4 = q.reshape(b, lq, num_heads, d)
-        k4 = k.reshape(b, lk, num_heads, d)
-        v4 = v.reshape(b, lk, num_heads, d)
-        return flash_attention_blhd(q4, k4, v4).reshape(b, lq, hd)
+            and packed_applicable(num_heads, d)
+            and os.environ.get("STREAMINGT2V_FLASH_PACKED", "0") == "1"):
+        return flash_attention_packed(q, k, v, num_heads=num_heads)
 
     qh = q.reshape(b, lq, num_heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, lk, num_heads, d).transpose(0, 2, 1, 3)

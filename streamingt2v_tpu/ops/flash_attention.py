@@ -198,14 +198,20 @@ def flash_attention(
     return _flash_core(q, k, v, block_q, block_k, interpret)
 
 
-def _flash_kernel4(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, pad_k):
-    """4D-layout variant of `_flash_kernel`: refs are (1, block, 1, d)
-    windows of (B, L, H, D) tensors — the head axis is a GRID dim and the
-    window strides over it, so callers never materialize the
-    (B, H, L, D) transpose (docs/PERF.md round 5: the head-fold
-    relayouts were ~21 GB/step of the stage-1 copy budget)."""
-    j = pl.program_id(3)
-    nk = pl.num_programs(3)
+def _flash_kernel_packed(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                         *, pad_k, num_heads, d):
+    """Head-packed variant of `_flash_kernel`: refs are (1, block, H*D)
+    windows of (B, L, H*D) tensors — the layout the QKV projections
+    produce — so callers never materialize the (B, L, H*D) -> (B*H, L, D)
+    head-fold transposes (~21 GB/step of the stage-1 copy budget,
+    docs/PERF.md round 5).  Heads are a STATIC in-kernel loop over
+    D-lane slices (Mosaic rejects H-strided BlockSpecs: the last two
+    block dims must be (8,128)-divisible or full, and H would sit
+    second-to-last).  m/l scratch use the same (bq, H*D) lane layout with
+    each head's running max/denominator replicated across its D lanes, so
+    init and finalize are single whole-row ops."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
@@ -213,106 +219,126 @@ def _flash_kernel4(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, pad_k):
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    q = q_ref[0]  # (bq, H*D)
+    k = k_ref[0]
+    v = v_ref[0]
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp2(s - m_new[:, 0:1])
-    alpha = jnp.exp2(m_prev - m_new)
-    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha[:, 0:1] + jnp.dot(
-        p.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    m_scr[:] = m_new
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # (bq, bk) f32, log2 domain (scale folded into q by the caller)
+        m_prev = m_scr[:, sl]                       # (bq, d) replicated
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp2(s - m_new[:, 0:1])
+        alpha = jnp.exp2(m_prev - m_new)
+        l_scr[:, sl] = l_scr[:, sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:, sl] = acc_scr[:, sl] * alpha + jnp.dot(
+            p.astype(v.dtype), v[:, sl],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        m_scr[:, sl] = m_new
 
     @pl.when(j == nk - 1)
     def _finalize():
-        denom = l_scr[:, 0:1]
+        denom = l_scr[:]
         if pad_k:
-            denom = denom - pad_k * jnp.exp2(-m_scr[:, 0:1])
-        o_ref[0, :, 0, :] = (acc_scr[:] / denom).astype(o_ref.dtype)
+            denom = denom - pad_k * jnp.exp2(-m_scr[:])
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
-def _attention_reference_blhd(q, k, v):
-    """f32 reference over (B, L, H, D) (the 4D kernel's custom VJP)."""
-    d = q.shape[-1]
-    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * (d ** -0.5)
+def _attention_reference_packed(q, k, v, num_heads):
+    """f32 reference over (B, L, H*D) (the packed kernel's custom VJP)."""
+    b, lq, hd = q.shape
+    d = hd // num_heads
+    qh = q.reshape(b, lq, num_heads, d)
+    kh = k.reshape(b, k.shape[1], num_heads, d)
+    vh = v.reshape(b, v.shape[1], num_heads, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                   kh.astype(jnp.float32)) * (d ** -0.5)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p,
-                      v.astype(jnp.float32)).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh.astype(jnp.float32))
+    return o.reshape(b, lq, hd).astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_core_blhd(q, k, v, block_q, block_k, interpret):
-    return _flash_pallas_blhd(q, k, v, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core_packed(q, k, v, num_heads, block_q, block_k, interpret):
+    return _flash_pallas_packed(q, k, v, num_heads, block_q, block_k, interpret)
 
 
-def _flash_core_blhd_fwd(q, k, v, block_q, block_k, interpret):
-    return _flash_pallas_blhd(q, k, v, block_q, block_k, interpret), (q, k, v)
+def _flash_core_packed_fwd(q, k, v, num_heads, block_q, block_k, interpret):
+    out = _flash_pallas_packed(q, k, v, num_heads, block_q, block_k, interpret)
+    return out, (q, k, v)
 
 
-def _flash_core_blhd_bwd(block_q, block_k, interpret, saved, g):
-    _, vjp = jax.vjp(_attention_reference_blhd, *saved)
+def _flash_core_packed_bwd(num_heads, block_q, block_k, interpret, saved, g):
+    _, vjp = jax.vjp(
+        functools.partial(_attention_reference_packed, num_heads=num_heads),
+        *saved)
     return vjp(g)
 
 
-_flash_core_blhd.defvjp(_flash_core_blhd_fwd, _flash_core_blhd_bwd)
+_flash_core_packed.defvjp(_flash_core_packed_fwd, _flash_core_packed_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention_blhd(
+# VMEM ceiling on the packed lane width: above this the per-head scratch
+# (m/l/acc at (bq, H*D) f32) shrinks blocks below the efficient range.
+PACKED_MAX_LANES = 1280
+
+
+def packed_applicable(num_heads: int, head_dim: int) -> bool:
+    """The packed kernel needs D-lane slices Mosaic can lower cheaply
+    (64-multiples) and a lane width whose scratch still leaves room for
+    efficient blocks."""
+    return (head_dim % 64 == 0
+            and num_heads * head_dim <= PACKED_MAX_LANES)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_q", "block_k",
+                                    "interpret"))
+def flash_attention_packed(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     *,
+    num_heads: int,
     block_q: int = 0,
     block_k: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention over (B, L, H, D) tensors — the natural layout out
-    of a fused QKV projection's head split (one free reshape from
-    (B, L, H*D)).  Heads are a grid dimension; BlockSpec windows stride
-    over H, so no head transpose is ever materialized in HBM.  Returns
-    (B, L, H, D) (one free reshape back to (B, L, H*D)).
-
-    STATUS: exact in interpret mode (tests/test_ops.py), but real Mosaic
-    rejects the (1, bq, 1, d) block — the last TWO dims of a block must
-    be (8, 128)-divisible or full, and H sits second-to-last (verified on
-    v5e this round).  Kept opt-in (STREAMINGT2V_FLASH_BLHD=1) and routed
-    nowhere by default until the full-H-block rework lands."""
-    return _flash_core_blhd(q, k, v, block_q, block_k, interpret)
+    """Flash attention over head-packed (B, L, H*D) tensors — the layout
+    the QKV projections emit and the out-projection consumes, so the
+    (B, L, H*D) <-> (B*H, L, D) fold/unfold relayouts never hit HBM.
+    Requires packed_applicable(num_heads, head_dim)."""
+    return _flash_core_packed(q, k, v, num_heads, block_q, block_k, interpret)
 
 
-def _flash_pallas_blhd(q, k, v, block_q, block_k, interpret):
-    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
-    b, lq, h, d = q.shape
-    _, lk, _, _ = k.shape
+def _flash_pallas_packed(q, k, v, num_heads, block_q, block_k, interpret):
+    assert q.ndim == 3 and k.ndim == 3 and v.ndim == 3
+    b, lq, hd = q.shape
+    _, lk, _ = k.shape
+    assert hd % num_heads == 0, (hd, num_heads)
+    d = hd // num_heads
+    assert packed_applicable(num_heads, d), (num_heads, d)
     q = (q.astype(jnp.float32) * (d ** -0.5 * 1.4426950408889634)).astype(q.dtype)
-
-    d_pad = max(64, -(-d // 64) * 64)
-    q = _pad_to(q, 3, d_pad)
-    k = _pad_to(k, 3, d_pad)
-    v = _pad_to(v, 3, d_pad)
 
     isz = max(q.dtype.itemsize, 2)
 
-    def _fits(bq, bk, budget=14 * 1024 * 1024):
-        return (2 * isz * bq * d_pad
-                + 2 * 2 * isz * bk * d_pad
-                + 2 * isz * bq * d_pad
-                + 2 * 4 * bq * 128
-                + 4 * bq * d_pad
-                + 2 * 4 * bq * bk
+    def _fits(bq, bk, budget=12 * 1024 * 1024):
+        return (2 * isz * bq * hd         # q in, double-buffered
+                + 2 * 2 * isz * bk * hd   # k+v in
+                + 2 * isz * bq * hd       # out
+                + 2 * 4 * bq * hd         # m/l scratch (per-head lanes)
+                + 4 * bq * hd             # f32 acc scratch
+                + 4 * 4 * bq * bk         # s/p/alpha f32 stack temporaries
+                                          # (measured: Mosaic's stack peak
+                                          # ran 4.2M over a 14M model at
+                                          # (9216, 640) — budget for four
+                                          # (bq,bk) f32 live at once)
                 ) <= budget
 
     if block_q and block_k:
@@ -326,39 +352,35 @@ def _flash_pallas_blhd(q, k, v, block_q, block_k, interpret):
     nq = qp.shape[1] // block_q
     nk = kp.shape[1] // block_k
 
-    kernel = functools.partial(_flash_kernel4, pad_k=kp.shape[1] - lk)
+    kernel = functools.partial(_flash_kernel_packed, pad_k=kp.shape[1] - lk,
+                               num_heads=num_heads, d=d)
     out = pl.pallas_call(
         kernel,
-        grid=(b, h, nq, nk),
+        grid=(b, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d_pad),
-                         lambda b_, h_, i, j: (b_, i, h_, 0)),
-            pl.BlockSpec((1, block_k, 1, d_pad),
-                         lambda b_, h_, i, j: (b_, j, h_, 0)),
-            pl.BlockSpec((1, block_k, 1, d_pad),
-                         lambda b_, h_, i, j: (b_, j, h_, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda b_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b_, i, j: (b_, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d_pad),
-                               lambda b_, h_, i, j: (b_, i, h_, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, qp.shape[1], h, d_pad), q.dtype),
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b_, i, j: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, qp.shape[1], hd), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * lq * lk * d_pad,
+            flops=4 * b * lq * lk * hd,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=b * h * lq * lk,
+            transcendentals=b * num_heads * lq * lk,
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    if out.shape[1] != lq or d_pad != d:
-        out = out[:, :lq, :, :d]
+    if out.shape[1] != lq:
+        out = out[:, :lq]
     return out
 
 

@@ -62,6 +62,12 @@ class Stage1Pipeline:
         self.models = models
         self._first_chunk_fn = jax.jit(self._first_chunk_impl)
         self._stream_chunk_fn = jax.jit(self._stream_chunk_impl)
+        # Conditioning is a SEPARATE program from the samplers (mirrors
+        # the decode split below): the conditioner tree (~1.2 GiB CLIP +
+        # VAE-encoder) and its temps then never co-plan with the 6.3 GiB
+        # sampler scan, and the per-program host syncs in image_to_video
+        # localize any device failure to conditioning / sampling / decode.
+        self._cond_fn = jax.jit(self._cond_impl)
         # VAE decode is a SEPARATE program from the samplers: fused into
         # the 30-step chunk program, XLA schedules the unrolled decode
         # chunks' 576x1024 f32 temps concurrently with sampler state and
@@ -106,35 +112,29 @@ class Stage1Pipeline:
         f = cfg.vae.downsample_factor
         return (1, num_frames, cfg.height // f, cfg.width // f, cfg.unet.out_channels)
 
-    def _first_chunk_impl(self, svd_params, cond_params, image, key):
-        """image: (1, H, W, 3) in [-1,1] -> latents (1, T, h, w, 4)."""
-        m = self.models
+    def _cond_impl(self, cond_params, anchor_frame, key, apm_frames=None):
+        """Conditioning program: anchor (1, H, W, 3) -> (c, uc) dicts."""
+        return self._conditioning_with(cond_params, anchor_frame, key,
+                                       self.cfg.inference.chunk_frames,
+                                       apm_frames=apm_frames)
+
+    def _first_chunk_impl(self, svd_params, c, uc, key):
+        """(c, uc) conditioning -> latents (1, T, h, w, 4)."""
         num_frames = self.cfg.inference.chunk_frames
-        k_cond, k_sample = jax.random.split(key)
-        c, uc = self._conditioning_with(cond_params, image, k_cond, num_frames)
-        net = openai_wrapper(m.svd_unet, svd_params)
+        net = openai_wrapper(self.models.svd_unet, svd_params)
         return self._sample_latents(net, self._latent_shape(num_frames), c, uc,
-                                    k_sample,
+                                    key,
                                     sampler_cfg=self.cfg.first_chunk_sampler)
 
-    def _stream_chunk_impl(self, unet_params, cn_params, cond_params,
-                           anchor_frame, ctrl_frames, key, apm_frames=None):
-        """anchor_frame: (1, H, W, 3); ctrl_frames: (1, F_cond, H, W, 3);
-        apm_frames: (1, 16, H, W, 3) appearance anchor frames (use_apm).
-        -> latents (1, T, h, w, 4)."""
+    def _stream_chunk_impl(self, unet_params, cn_params, c, uc, key):
+        """(c, uc) with ctrl_frames merged -> latents (1, T, h, w, 4)."""
         m = self.models
         num_frames = self.cfg.inference.chunk_frames
         f_cond = self.cfg.inference.num_conditional_frames
-        k_cond, k_sample = jax.random.split(key)
-        c, uc = self._conditioning_with(cond_params, anchor_frame, k_cond, num_frames,
-                                        apm_frames=apm_frames)
-        c = dict(c); uc = dict(uc)
-        c["ctrl_frames"] = ctrl_frames
-        uc["ctrl_frames"] = ctrl_frames
         net = streaming_wrapper(m.unet, unet_params, m.controlnet, cn_params, f_cond,
                                 ctrl_cfg_shared=True)
         return self._sample_latents(net, self._latent_shape(num_frames), c, uc,
-                                    k_sample)
+                                    key)
 
     def _conditioning_with(self, cond_params, anchor_frame, key, num_frames,
                            apm_frames=None):
@@ -152,6 +152,14 @@ class Stage1Pipeline:
             uc["crossattn"] = jnp.concatenate(
                 [uc["crossattn"], jnp.zeros_like(tokens)], axis=1)
         return broadcast_cond(c, num_frames), broadcast_cond(uc, num_frames)
+
+    @staticmethod
+    def _sync(tree) -> None:
+        """Complete all in-flight programs feeding `tree` with one tiny
+        host read (block_until_ready does not synchronize on the tunneled
+        platform; the read costs one ~30 ms RTT)."""
+        leaf = jax.tree.leaves(tree)[0]
+        np.asarray(leaf.reshape(-1)[0])
 
     def _decode_chunk_impl(self, vae_params, z):
         """One decode-chunk program: z (1, <=cs, h, w, 4) -> video frames."""
@@ -257,21 +265,29 @@ class Stage1Pipeline:
         n_gen = cfg.n_autoregressions(target)
 
         image = image[None]  # batch of 1
-        z0 = self._first_chunk_fn(
-            m.svd_unet_params, m.conditioner_params, image,
-            generation_key(seed, 0, inf.reset_seed_per_generation),
-        )
+        k_cond, k_sample = jax.random.split(
+            generation_key(seed, 0, inf.reset_seed_per_generation))
+        c, uc = self._cond_fn(m.conditioner_params, image, k_cond)
+        self._sync(c)
+        z0 = self._first_chunk_fn(m.svd_unet_params, c, uc, k_sample)
+        # The SVD-XT tree (~2.8 GiB bf16) is dead weight for the rest of
+        # the stage — drop it if regenerable BEFORE the decode dispatches,
+        # so their 576x1024 f32 temps get its HBM.  The host read first
+        # completes the in-flight first-chunk program (only host reads
+        # synchronize on the tunneled platform); the `m` refresh matters:
+        # the local StreamingModels would otherwise keep the dropped tree
+        # referenced (and its buffers alive) for the whole AR loop.
+        self._sync(z0)
+        self.drop_field("svd_unet_params")
+        m = self.models
         chunk0 = self._decode_video(m.vae_params, z0)
         chunks: List[jax.Array] = [chunk0]
-        # the SVD-XT tree (~3 GB bf16) is dead weight for the rest of the
-        # stage — drop it if regenerable (the runtime keeps the buffers
-        # alive until the in-flight chunk0 program completes)
-        self.drop_field("svd_unet_params")
         anchor = chunk0[:, inf.anchor_frames]  # frame 6 of chunk 0, fixed
         use_apm = cfg.unet.use_apm
         for g in range(n_gen):
             ctrl = chunks[-1][:, -inf.num_conditional_frames:]
-            key = generation_key(seed, g + 1, inf.reset_seed_per_generation)
+            k_cond, k_sample = jax.random.split(
+                generation_key(seed, g + 1, inf.reset_seed_per_generation))
             if use_apm:
                 # appearance anchors from the so-far video (reference
                 # extract_anchor_frames on cat(result_chunks),
@@ -291,16 +307,25 @@ class Stage1Pipeline:
                     ci = int(np.searchsorted(starts, gi, side="right")) - 1
                     frames.append(chunks[ci][:, gi - int(starts[ci])])
                 apm_frames = jnp.stack(frames, axis=1)
-                z = self._stream_chunk_fn(
-                    m.unet_params, m.controlnet_params,
-                    m.conditioner_params, anchor, ctrl, key, apm_frames,
-                )
+                c, uc = self._cond_fn(m.conditioner_params, anchor, k_cond,
+                                      apm_frames)
             else:
-                z = self._stream_chunk_fn(
-                    m.unet_params, m.controlnet_params,
-                    m.conditioner_params, anchor, ctrl, key,
-                )
+                c, uc = self._cond_fn(m.conditioner_params, anchor, k_cond)
+            c = dict(c)
+            uc = dict(uc)
+            c["ctrl_frames"] = ctrl
+            uc["ctrl_frames"] = ctrl
+            self._sync(c)
+            z = self._stream_chunk_fn(m.unet_params, m.controlnet_params,
+                                      c, uc, k_sample)
+            self._sync(z)
             result = self._decode_video(m.vae_params, z)
+            # Serialize generations with one tiny host read: at production
+            # width the chip runs near its HBM ceiling, and a fully async
+            # queue of sampler+decode programs turns a recoverable
+            # RESOURCE_EXHAUSTED into a mid-flight allocation failure that
+            # kills the TPU worker process (observed on v5e, round 5).
+            self._sync(result)
             chunks.append(result[:, inf.num_conditional_frames:])
         video = jnp.concatenate(chunks, axis=1)[0]
         return video[:target]
