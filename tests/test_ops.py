@@ -424,3 +424,44 @@ def test_flash_attention_pad_correction_exact(b, lq, lk):
                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), _ref_attention(q, k, v),
                                atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("b,lq,lk,h,d", [(2, 300, 145, 10, 64),
+                                         (1, 777, 777, 5, 128),
+                                         (2, 130, 7, 2, 64)])
+def test_flash_attention_packed_exact(b, lq, lk, h, d):
+    """The head-packed kernel (heads = static D-lane slices of a
+    (B, L, H*D) block) matches per-head reference attention, including at
+    non-dividing lengths (the same pad-correction path as the 3D kernel)
+    and at D=128 (tile-aligned) and D=64 (sub-tile) slice granularity."""
+    from streamingt2v_tpu.ops.flash_attention import flash_attention_packed
+
+    rng = np.random.RandomState(3)
+    q = rng.randn(b, lq, h * d).astype(np.float32)
+    k = rng.randn(b, lk, h * d).astype(np.float32)
+    v = rng.randn(b, lk, h * d).astype(np.float32)
+    out = flash_attention_packed(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), num_heads=h, interpret=True)
+    qh = q.reshape(b, lq, h, d).transpose(0, 2, 1, 3).reshape(b * h, lq, d)
+    kh = k.reshape(b, lk, h, d).transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    vh = v.reshape(b, lk, h, d).transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    ref = _ref_attention(qh, kh, vh).reshape(b, h, lq, d).transpose(
+        0, 2, 1, 3).reshape(b, lq, h * d)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=5e-5)
+
+
+def test_flash_attention_packed_vjp_matches_reference():
+    from streamingt2v_tpu.ops.flash_attention import (
+        _attention_reference_packed,
+        flash_attention_packed,
+    )
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(1, 64, 128).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 48, 128).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 48, 128).astype(np.float32))
+    g1 = jax.grad(lambda q: flash_attention_packed(
+        q, k, v, num_heads=2, interpret=True).sum())(q)
+    g2 = jax.grad(lambda q: _attention_reference_packed(q, k, v, 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-5)
