@@ -201,6 +201,14 @@ class InferenceParams:
     cond_aug: float = 0.02
     chunk_frames: int = 25  # frames per generated chunk
     decode_chunk_size: int = 8
+    # Run the temporal-VAE decode in bf16 (params + activations cast inside
+    # the decode program; GroupNorm stats keep f32 accumulation).  The
+    # reference runs its first stage in fp32 (disable_first_stage_autocast,
+    # config.yaml:310) but the enhance stage's fp16 VAE precedent
+    # (i2v_enhance_interface.py:69) applies: decoded frames are 8-bit
+    # video, and bf16 halves the 576x1024 decoder's HBM traffic and temps
+    # (the stage-1 decode is pure-bandwidth-bound — PERF.md round 5).
+    vae_decode_bf16: bool = True
 
 
 @dataclass(frozen=True)

@@ -162,9 +162,19 @@ class Stage1Pipeline:
         np.asarray(leaf.reshape(-1)[0])
 
     def _decode_chunk_impl(self, vae_params, z):
-        """One decode-chunk program: z (1, <=cs, h, w, 4) -> video frames."""
+        """One decode-chunk program: z (1, <=cs, h, w, 4) -> video frames.
+
+        With `vae_decode_bf16` the params are cast to bf16 inside the
+        program (one ~100 MB pass over the decoder tree, vs ~halving the
+        multi-GB activation traffic of the 576x1024 tower) and the output
+        is returned in f32 after an f32 clip."""
+        if self.cfg.inference.vae_decode_bf16:
+            vae_params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, vae_params)
+            z = z.astype(jnp.bfloat16)
         out = self.models.vae.apply(vae_params, z, method=AutoencoderKL.decode)
-        return jnp.clip(out, -1.0, 1.0)
+        return jnp.clip(out.astype(jnp.float32), -1.0, 1.0)
 
     def _decode_video(self, vae_params, z):
         """Chunked temporal-VAE decode, one compiled program per DISTINCT

@@ -119,3 +119,30 @@ def test_apm_no_retrace():
     assert video.shape[0] == target
     sizes = pipe._stream_chunk_fn._cache_size()
     assert sizes == 1, f"_stream_chunk_fn retraced: {sizes} entries"
+
+
+def test_vae_decode_bf16_close_to_f32(pipeline):
+    """The stage-1 decode program runs bf16 by default (params cast
+    in-program, f32 output).  Pin it against the f32 path: same z, error
+    within 8-bit video quantization scale (the product's output domain).
+    The f32 path stays reachable via InferenceParams.vae_decode_bf16."""
+    import dataclasses
+
+    from streamingt2v_tpu.pipeline.streaming import Stage1Pipeline
+
+    assert pipeline.cfg.inference.vae_decode_bf16  # default ON
+    m = pipeline.models
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 8, 8, 4),
+                          jnp.float32) * 1.5
+    out_bf = np.asarray(pipeline._decode_chunk_fn(m.vae_params, z))
+    cfg32 = dataclasses.replace(
+        pipeline.cfg, inference=dataclasses.replace(
+            pipeline.cfg.inference, vae_decode_bf16=False))
+    out_f32 = np.asarray(
+        Stage1Pipeline(cfg32, m)._decode_chunk_fn(m.vae_params, z))
+    assert out_bf.dtype == out_f32.dtype == np.float32
+    assert np.all(np.isfinite(out_bf))
+    # bf16 has ~2-3 significant decimal digits; outputs live in [-1, 1]
+    # and are consumed as uint8 video (1/255 ~ 3.9e-3 per level)
+    err = np.abs(out_bf - out_f32).max()
+    assert err < 4e-2, err
